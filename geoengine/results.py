@@ -1,0 +1,74 @@
+"""SearchResult-shaped nested output (reference R14, ``GeoSearch.scala:74``,
+``SparkDS.scala:94-97``).
+
+One row per origin:
+  origin: struct<id, latitude, longitude>
+  neighbors: array<struct<value: struct<id, latitude, longitude>,
+                          euclideanDistance: double, ms: string>>
+             ordered by distance asc (reference Ordering, GeoSearch.scala:70-71)
+  searchSpace: the reference's binary-geohash prefix string (parity render)
+  searchTimerSeconds: per-origin wall clock in the reference (SparkDS.scala:71);
+             meaningless in a set-oriented engine — emitted as 0.0 with real
+             timing in the metrics layer instead (BASELINE.md note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import udfs
+from .geodesy import to_km
+
+
+def assemble_search_results(
+    pairs: DataFrame,
+    unit: str = "km",
+    radius: float | None = None,
+    bits: int = 40,
+    include_search_space: bool = True,
+) -> DataFrame:
+    """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows."""
+    neigh = F.struct(
+        F.struct(
+            F.col("neighbor_id").alias("id"),
+            F.col("neighbor_latitude").alias("latitude"),
+            F.col("neighbor_longitude").alias("longitude"),
+        ).alias("value"),
+        F.col("distance").alias("euclideanDistance"),
+        F.lit(unit).alias("ms"),
+    )
+    grouped = (
+        pairs.withColumn("_n", neigh)
+        .groupBy("origin_id", "origin_latitude", "origin_longitude")
+        .agg(F.collect_list("_n").alias("_neighbors"))
+    )
+    out = grouped.select(
+        F.struct(
+            F.col("origin_id").alias("id"),
+            F.col("origin_latitude").alias("latitude"),
+            F.col("origin_longitude").alias("longitude"),
+        ).alias("origin"),
+        F.array_sort(
+            F.col("_neighbors"),
+            lambda a, b: F.when(a.euclideanDistance < b.euclideanDistance, -1)
+            .when(a.euclideanDistance > b.euclideanDistance, 1)
+            .when(a.value.id < b.value.id, -1)
+            .when(a.value.id > b.value.id, 1)
+            .otherwise(0),
+        ).alias("neighbors"),
+        F.col("origin_latitude").alias("_lat"),
+        F.col("origin_longitude").alias("_lon"),
+    )
+    if include_search_space and radius is not None:
+        render = udfs.make_search_space_string_udf(bits)
+        out = out.withColumn(
+            "searchSpace",
+            render(F.col("_lat"), F.col("_lon"), F.lit(to_km(radius, unit))),
+        )
+    else:
+        out = out.withColumn("searchSpace", F.lit(""))
+    return (
+        out.withColumn("searchTimerSeconds", F.lit(0.0))
+        .drop("_lat", "_lon")
+    )

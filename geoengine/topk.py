@@ -1,0 +1,46 @@
+"""Top-N truncation per origin (reference R13, ``DataStore.scala:16-24``).
+
+Engine default = sane kNN semantics: keep the N NEAREST neighbors,
+deterministic tiebreak on neighbor id, ties at equal distance all kept up
+to N. Applied BEFORE result assembly so the collect_list shuffle is bounded
+(reference truncates after materializing the full candidate list).
+
+``parity_topn=True`` reproduces the reference's two (untested) quirks:
+its SortedSet fold evicts the MINIMUM when full — keeping the N FARTHEST
+within radius — and dedups equal distances (``Ordering.by(euclideanDistance)``
+collapses ties; we keep the min-id representative deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n_per_origin(
+    pairs: DataFrame,
+    n: int,
+    origin_id: str = "origin_id",
+    neighbor_id: str = "neighbor_id",
+    distance: str = "distance_km",
+    parity_topn: bool = False,
+) -> DataFrame:
+    if parity_topn:
+        # dedup equal distances (min neighbor id representative), then keep
+        # the n FARTHEST — reference SortedSet fold semantics
+        dedup_w = Window.partitionBy(origin_id, distance).orderBy(neighbor_id)
+        deduped = (
+            pairs.withColumn("_dd", F.row_number().over(dedup_w))
+            .where(F.col("_dd") == 1)
+            .drop("_dd")
+        )
+        w = Window.partitionBy(origin_id).orderBy(
+            F.col(distance).desc(), F.col(neighbor_id)
+        )
+        ranked = deduped.withColumn("_rn", F.row_number().over(w))
+    else:
+        w = Window.partitionBy(origin_id).orderBy(
+            F.col(distance).asc(), F.col(neighbor_id)
+        )
+        ranked = pairs.withColumn("_rn", F.row_number().over(w))
+    return ranked.where(F.col("_rn") <= n).drop("_rn")

@@ -1,0 +1,146 @@
+"""Radius-join correctness vs brute-force numpy oracle, plus the reference's
+(disabled) e2e scenario and the nested SearchResult shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoengine import geodesy
+from geoengine.join import radius_join_pairs
+from geoengine.results import assemble_search_results
+from geoengine.topk import top_n_per_origin
+
+
+def _random_points(seed, n, lat_range=(-80, 80), lon_range=(-179.95, 179.95)):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": [f"p{seed}_{i:06d}" for i in range(n)],
+            "latitude": rng.uniform(*lat_range, n),
+            "longitude": rng.uniform(*lon_range, n),
+        }
+    )
+
+
+def _brute_pairs(origins: pd.DataFrame, neighbors: pd.DataFrame, radius_km: float):
+    la1 = origins["latitude"].to_numpy()[:, None]
+    lo1 = origins["longitude"].to_numpy()[:, None]
+    la2 = neighbors["latitude"].to_numpy()[None, :]
+    lo2 = neighbors["longitude"].to_numpy()[None, :]
+    d = geodesy.dist_law_of_cosines_km(la1, lo1, la2, lo2)
+    oi, ni = np.nonzero(d <= radius_km)
+    return set(
+        zip(origins["id"].to_numpy()[oi].tolist(), neighbors["id"].to_numpy()[ni].tolist())
+    )
+
+
+@pytest.mark.parametrize("radius_km,seed", [(50.0, 1), (250.0, 2), (5.0, 3)])
+def test_radius_join_matches_bruteforce(spark, radius_km, seed):
+    o = _random_points(seed, 300)
+    nb = _random_points(seed + 100, 400)
+    got = (
+        radius_join_pairs(
+            spark.createDataFrame(o), spark.createDataFrame(nb), radius_km, "km"
+        )
+        .select("origin_id", "neighbor_id", "distance_km")
+        .toPandas()
+    )
+    want = _brute_pairs(o, nb, radius_km)
+    got_set = set(zip(got["origin_id"], got["neighbor_id"]))
+    assert got_set == want
+    # distances match numpy within fp tolerance
+    dd = {
+        (r.origin_id, r.neighbor_id): r.distance_km for r in got.itertuples()
+    }
+    la = o.set_index("id")
+    lb = nb.set_index("id")
+    for (a, b), dv in list(dd.items())[:200]:
+        ref = geodesy.dist_law_of_cosines_km(
+            la.loc[a, "latitude"], la.loc[a, "longitude"],
+            lb.loc[b, "latitude"], lb.loc[b, "longitude"],
+        )
+        assert abs(dv - ref) < 1e-9 * max(1.0, ref)
+
+
+def test_antimeridian_pairs_found(spark):
+    o = pd.DataFrame(
+        {"id": ["west"], "latitude": [10.0], "longitude": [179.95]}
+    )
+    nb = pd.DataFrame(
+        {"id": ["east"], "latitude": [10.0], "longitude": [-179.95]}
+    )
+    got = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 30.0, "km"
+    ).count()
+    assert got == 1  # ~22 km apart across the antimeridian
+
+
+def test_invalid_coords_dropped(spark):
+    o = pd.DataFrame(
+        {"id": ["ok", "bad1", "bad2"], "latitude": [10.0, 91.0, None],
+         "longitude": [10.0, 200.0, 5.0]}
+    )
+    nb = pd.DataFrame({"id": ["n"], "latitude": [10.0], "longitude": [10.0]})
+    got = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 10.0, "km"
+    ).toPandas()
+    assert got["origin_id"].tolist() == ["ok"]
+
+
+def test_reference_disabled_e2e_scenario(spark):
+    # reference src/test/scala/DataStore.scala:17-36: 4 points, origin (11,11)
+    # radius 500 miles -> exactly {a, b}; distances ~155/~140 km
+    pts = pd.DataFrame(
+        {
+            "id": ["a", "b", "c", "d"],
+            "latitude": [10.0, 10.1, 55.0, -55.1],
+            "longitude": [10.0, 10.1, -55.0, 50.1],
+        }
+    )
+    o = pd.DataFrame({"id": ["q"], "latitude": [11.0], "longitude": [11.0]})
+    pairs = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(pts), 500.0, "miles"
+    )
+    got = pairs.select("neighbor_id", "distance_km", "distance").toPandas()
+    assert set(got["neighbor_id"]) == {"a", "b"}
+    dk = got.set_index("neighbor_id")["distance_km"]
+    assert abs(dk["a"] - 155) < 1 and abs(dk["b"] - 140) < 1
+    # reported distance is in inquiry unit (miles), SparkDS.scala:84-86
+    dm = got.set_index("neighbor_id")["distance"]
+    assert abs(dm["a"] - dk["a"] * geodesy.KM_TO_MI) < 1e-9
+
+
+def test_topk_and_nested_result_shape(spark):
+    o = _random_points(7, 50)
+    nb = _random_points(8, 500)
+    pairs = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 800.0, "km"
+    )
+    top = top_n_per_origin(pairs, 5)
+    counts = top.groupBy("origin_id").count().toPandas()
+    assert (counts["count"] <= 5).all()
+    res = assemble_search_results(top, unit="km", radius=800.0)
+    row = res.limit(1).collect()[0]
+    assert set(res.columns) == {"origin", "neighbors", "searchSpace", "searchTimerSeconds"}
+    ds = [n["euclideanDistance"] for n in row["neighbors"]]
+    assert ds == sorted(ds)
+    assert set(row["searchSpace"]) <= {"0", "1"}
+
+
+def test_parity_topn_keeps_farthest_and_dedups(spark):
+    o = pd.DataFrame({"id": ["q"], "latitude": [0.0], "longitude": [0.0]})
+    nb = pd.DataFrame(
+        {
+            "id": ["n1", "n2", "n2dup", "n3", "n4"],
+            "latitude": [0.0, 0.0, 0.0, 0.0, 0.0],
+            "longitude": [0.1, 0.2, -0.2, 0.3, 0.4],
+        }
+    )
+    pairs = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 100.0, "km"
+    )
+    got = top_n_per_origin(pairs, 2, parity_topn=True).toPandas()
+    # dedup of the 0.2-distance tie, then keep the 2 FARTHEST: n4, n3
+    assert set(got["neighbor_id"]) == {"n4", "n3"}
+    sane = top_n_per_origin(pairs, 2).toPandas()
+    assert set(sane["neighbor_id"]) == {"n1", "n2"}
