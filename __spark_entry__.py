@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship radius-neighborhood search (nested SearchResult
+output) on sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per
+implemented operator from SURVEY.md §2, checked by the driver against DuckDB
+at sf0.01.
+
+Spatial columns are derived deterministically from integer keys
+(FIXTURES.md §5) so both engines agree bit-exactly; distances are rounded to
+6 decimals on both sides to absorb <=1-ulp libm differences in
+sin/cos/acos between the JVM and DuckDB.
 """
 
 from __future__ import annotations
@@ -12,27 +16,387 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoengine import datasets, exprs
+from geoengine.join import radius_join_pairs
+from geoengine.knn import knn_join
+from geoengine.results import assemble_search_results
+from geoengine.topk import top_n_per_origin
+
+RADIUS_KM = 500.0
+KNN_K = 3
+CELL_BITS = 30
+TILE_ZOOM = 12
+ROLLUP_ZOOM = 8
+TOPK_N = 10
+
+# SQL fragments (DuckDB dialect) shared by several oracles ------------------
+
+_C_LAT, _C_LON = datasets.sql_point_cols("c_custkey", 37, 91)
+_S_LAT, _S_LON = datasets.sql_point_cols("s_suppkey", 53, 71)
+_E_LAT, _E_LON = datasets.sql_point_cols("event_id", 37, 91)
+
+_SQL_POINTS = f"""
+WITH c AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon FROM customer),
+     s AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon FROM supplier)
+"""
+
+_SQL_DIST_CS = exprs.sql_dist_km("c.lat", "c.lon", "s.lat", "s.lon")
+
+_SQL_PAIRS = f"""
+{_SQL_POINTS}
+SELECT c.id AS origin_id, s.id AS neighbor_id,
+       round({_SQL_DIST_CS}, 6) AS dist_km
+FROM c CROSS JOIN s
+WHERE {_SQL_DIST_CS} <= {RADIUS_KM!r}e0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return radius_join_pairs(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        RADIUS_KM,
+        "km",
+    )
+
+
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10+R12: cell-keyed candidate join + exact-distance refinement."""
+    return _pairs(spark, sf_dir).select(
+        "origin_id",
+        "neighbor_id",
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
+def q_radius_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5-analog: per-origin neighbor counts (index bucket sizes)."""
+    return (
+        _pairs(spark, sf_dir)
+        .groupBy("origin_id")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN (north-rule): k nearest suppliers per customer."""
+    out = knn_join(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        KNN_K,
+    )
+    return out.select(
+        "origin_id",
+        "neighbor_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: grid indices + interleaved binary-geohash cell id (pure Columns)."""
+    hb = CELL_BITS // 2
+    pts = datasets.customer_points(spark, sf_dir)
+    ix = exprs.grid_ix(F.col("longitude"), hb)
+    iy = exprs.grid_iy(F.col("latitude"), hb)
+    return pts.select(
+        F.col("id"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+        exprs.grid_key(ix, iy, hb).alias("gkey"),
+        exprs.interleave(ix, iy, hb).alias("cell"),
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile<->vector assignment (north-rule): slippy z/x/y per event."""
+    pts = datasets.event_points(spark, sf_dir)
+    return pts.select(
+        F.col("id"),
+        exprs.tile_x(F.col("longitude"), TILE_ZOOM).alias("tile_x"),
+        exprs.tile_y(F.col("latitude"), TILE_ZOOM).alias("tile_y"),
+    )
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile manifest: points per tile at rollup zoom."""
+    pts = datasets.event_points(spark, sf_dir)
+    return (
+        pts.select(
+            exprs.tile_x(F.col("longitude"), ROLLUP_ZOOM).alias("tile_x"),
+            exprs.tile_y(F.col("latitude"), ROLLUP_ZOOM).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_distance_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: registered SQL UDF distanceKm (string-in contract) vs fixed point."""
+    from geoengine.udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    pts = datasets.customer_points(spark, sf_dir)
+    pts.createOrReplaceTempView("_pts_udf")
+    return spark.sql(
+        """
+        SELECT id,
+               round(distanceKm(cast(latitude AS string), cast(longitude AS string),
+                                '38.907192', '-77.036873'), 6) AS dist_km
+        FROM _pts_udf
+        """
+    )
+
+
+def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4-G6: radius bounding-box corners (reference bbox semantics)."""
+    pts = datasets.supplier_points(spark, sf_dir)
+    la, lo = F.col("latitude"), F.col("longitude")
+    return pts.select(
+        "id",
+        F.round(exprs.lat_plus_km(la, -100.0), 9).alias("lat_min"),
+        F.round(exprs.lat_plus_km(la, 100.0), 9).alias("lat_max"),
+        F.round(exprs.lon_plus_km(la, lo, -100.0), 9).alias("lon_min"),
+        F.round(exprs.lon_plus_km(la, lo, 100.0), 9).alias("lon_max"),
+    )
+
+
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13+R14 flattened: per-origin top-N nearest within radius."""
+    top = top_n_per_origin(_pairs(spark, sf_dir), TOPK_N)
+    return top.select(
+        "origin_id",
+        "neighbor_id",
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
+def q_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21/R22 shape: explode pairs, attribute-join + LIKE filter, rank."""
+    pairs = _pairs(spark, sf_dir)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        pairs.join(sup, pairs.neighbor_id == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .where(F.col("n_name").contains("A"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_avg_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23: global aggregate over pair distances."""
+    return _pairs(spark, sf_dir).agg(
+        F.round(F.avg("distance_km"), 6).alias("avg_dist_km"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
+def q_median_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: exact percentiles of the pair-distance distribution."""
+    return _pairs(spark, sf_dir).agg(
+        F.round(F.expr("percentile(distance_km, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(distance_km, 0.75)"), 6).alias("p75"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents (hash-groupBy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (training-data text op)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    ).cast("long")
+    return docs.select("doc_id", n_tokens.alias("n_tokens"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality heuristics: whitespace ratio + mean token length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    length = F.length(t).cast("double")
+    n_sp = (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(n_sp / length, 6).alias("space_ratio"),
+        F.round((length - n_sp) / (n_sp + 1.0), 6).alias("mean_token_len"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "radius_pairs": q_radius_pairs,
+    "radius_counts": q_radius_counts,
+    "knn": q_knn,
+    "cell_encode": q_cell_encode,
+    "tile_assign": q_tile_assign,
+    "tile_rollup": q_tile_rollup,
+    "distance_udf": q_distance_udf,
+    "bbox": q_bbox,
+    "search_topk": q_search_topk,
+    "nation_join": q_nation_join,
+    "avg_dist": q_avg_dist,
+    "median_dist": q_median_dist,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end radius-neighborhood search (reference
+    searchMiles semantics, SparkDS.scala:34-45) with nested SearchResult
+    output, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = radius_join_pairs(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        500.0,
+        "miles",
+    )
+    top = top_n_per_origin(pairs, 10)
+    return assemble_search_results(top, unit="miles", radius=500.0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dist_fixed = exprs.sql_dist_km("lat", "lon", "38.907192e0", "-77.036873e0")
+    hb = CELL_BITS // 2
+    sql_ix = exprs.sql_grid_ix("lon", hb)
+    sql_iy = exprs.sql_grid_iy("lat", hb)
+    dist_pts = exprs.sql_dist_km("c.lat", "c.lon", "s.lat", "s.lon")
+    return {
+        "radius_pairs": _SQL_PAIRS,
+        "radius_counts": f"""
+            {_SQL_POINTS}
+            SELECT c.id AS origin_id, count(*) AS n_neighbors
+            FROM c CROSS JOIN s
+            WHERE {dist_pts} <= {RADIUS_KM!r}e0
+            GROUP BY c.id
+        """,
+        "knn": f"""
+            {_SQL_POINTS}
+            SELECT origin_id, neighbor_id, knn_rank, round(d, 6) AS dist_km
+            FROM (
+              SELECT c.id AS origin_id, s.id AS neighbor_id, {dist_pts} AS d,
+                     row_number() OVER (PARTITION BY c.id
+                                        ORDER BY {dist_pts}, s.id) AS knn_rank
+              FROM c CROSS JOIN s
+            )
+            WHERE knn_rank <= {KNN_K}
+        """,
+        "cell_encode": f"""
+            WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                         FROM customer)
+            SELECT id, {sql_ix} AS ix, {sql_iy} AS iy,
+                   {exprs.sql_grid_key(sql_ix, sql_iy, hb)} AS gkey,
+                   {exprs.sql_interleave(sql_ix, sql_iy, hb)} AS cell
+            FROM pts
+        """,
+        "tile_assign": f"""
+            WITH pts AS (SELECT event_id AS id, {_E_LAT} AS lat, {_E_LON} AS lon
+                         FROM events)
+            SELECT id, {exprs.sql_tile_x('lon', TILE_ZOOM)} AS tile_x,
+                   {exprs.sql_tile_y('lat', TILE_ZOOM)} AS tile_y
+            FROM pts
+        """,
+        "tile_rollup": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events)
+            SELECT {exprs.sql_tile_x('lon', ROLLUP_ZOOM)} AS tile_x,
+                   {exprs.sql_tile_y('lat', ROLLUP_ZOOM)} AS tile_y,
+                   count(*) AS n_points
+            FROM pts
+            GROUP BY 1, 2
+        """,
+        "distance_udf": f"""
+            WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                         FROM customer)
+            SELECT id, round({dist_fixed}, 6) AS dist_km FROM pts
+        """,
+        "bbox": f"""
+            WITH pts AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon
+                         FROM supplier)
+            SELECT id,
+                   round({exprs.sql_lat_plus_km('lat', '-100.0e0')}, 9) AS lat_min,
+                   round({exprs.sql_lat_plus_km('lat', '100.0e0')}, 9) AS lat_max,
+                   round({exprs.sql_lon_plus_km('lat', 'lon', '-100.0e0')}, 9) AS lon_min,
+                   round({exprs.sql_lon_plus_km('lat', 'lon', '100.0e0')}, 9) AS lon_max
+            FROM pts
+        """,
+        "search_topk": f"""
+            {_SQL_POINTS}
+            SELECT origin_id, neighbor_id, round(d, 6) AS dist_km
+            FROM (
+              SELECT c.id AS origin_id, s.id AS neighbor_id, {dist_pts} AS d,
+                     row_number() OVER (PARTITION BY c.id
+                                        ORDER BY {dist_pts}, s.id) AS rnk
+              FROM c CROSS JOIN s
+              WHERE {dist_pts} <= {RADIUS_KM!r}e0
+            )
+            WHERE rnk <= {TOPK_N}
+        """,
+        "nation_join": f"""
+            {_SQL_POINTS}
+            SELECT n.n_name, count(*) AS n_pairs
+            FROM c CROSS JOIN s
+            JOIN supplier sup ON s.id = sup.s_suppkey
+            JOIN nation n ON sup.s_nationkey = n.n_nationkey
+            WHERE {dist_pts} <= {RADIUS_KM!r}e0
+              AND n.n_name LIKE '%A%'
+            GROUP BY n.n_name
+        """,
+        "avg_dist": f"""
+            {_SQL_POINTS}
+            SELECT round(avg(d), 6) AS avg_dist_km, count(*) AS n_pairs
+            FROM (SELECT {dist_pts} AS d FROM c CROSS JOIN s
+                  WHERE {dist_pts} <= {RADIUS_KM!r}e0)
+        """,
+        "median_dist": f"""
+            {_SQL_POINTS}
+            SELECT round(quantile_cont(d, 0.5), 6) AS p50,
+                   round(quantile_cont(d, 0.75), 6) AS p75
+            FROM (SELECT {dist_pts} AS d FROM c CROSS JOIN s
+                  WHERE {dist_pts} <= {RADIUS_KM!r}e0)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round((length(text) - length(replace(text, ' ', '')))
+                         / (1.0e0 * length(text)), 6) AS space_ratio,
+                   round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                         / ((length(text) - length(replace(text, ' ', ''))) + 1.0e0),
+                         6) AS mean_token_len
+            FROM documents
+        """,
+    }

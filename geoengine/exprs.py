@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from .geodesy import EARTH_RADIUS_KM, KM_TO_MI, MI_TO_KM
 
+
+def _d(x: float) -> str:
+    """DuckDB DOUBLE literal (e0 suffix — bare decimals parse as DECIMAL)."""
+    return f"{float(x)!r}e0"
+
 # --------------------------------------------------------------------------
 # deterministic point derivation from integer keys (FIXTURES.md §5):
 # lat = (key*a % 18000)/100 - 90 ; lon = (key*b % 36000)/100 - 180
@@ -36,11 +41,11 @@ def lon_from_key(key: Column, mult: int) -> Column:
 
 
 def sql_lat_from_key(key: str, mult: int) -> str:
-    return f"((({key} * {mult}) % 18000) / 100.0 - 90.0)"
+    return f"((({key} * {mult}) % 18000) / 100.0e0 - 90.0e0)"
 
 
 def sql_lon_from_key(key: str, mult: int) -> str:
-    return f"((({key} * {mult}) % 36000) / 100.0 - 180.0)"
+    return f"((({key} * {mult}) % 36000) / 100.0e0 - 180.0e0)"
 
 
 # --------------------------------------------------------------------------
@@ -62,7 +67,7 @@ def grid_iy(lat: Column, half_bits: int) -> Column:
 def sql_grid_ix(lon: str, half_bits: int) -> str:
     n = 1 << half_bits
     return (
-        f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {float(n)}), 0), "
+        f"CAST(least(greatest(floor(({lon} + 180.0e0) / 360.0e0 * {_d(n)}), 0), "
         f"{n - 1}) AS BIGINT)"
     )
 
@@ -70,7 +75,7 @@ def sql_grid_ix(lon: str, half_bits: int) -> str:
 def sql_grid_iy(lat: str, half_bits: int) -> str:
     n = 1 << half_bits
     return (
-        f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {float(n)}), 0), "
+        f"CAST(least(greatest(floor(({lat} + 90.0e0) / 180.0e0 * {_d(n)}), 0), "
         f"{n - 1}) AS BIGINT)"
     )
 
@@ -132,7 +137,7 @@ def sql_dist_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"(sin(radians({lat1})) * sin(radians({lat2})) + cos(radians({lat1})) "
         f"* cos(radians({lat2})) * cos(radians({lon1}) - radians({lon2})))"
     )
-    return f"(acos(least(greatest({c}, -1.0), 1.0)) * {EARTH_RADIUS_KM})"
+    return f"(acos(least(greatest({c}, -1.0e0), 1.0e0)) * {_d(EARTH_RADIUS_KM)})"
 
 
 def radius_as_km(radius: Column, unit: Column) -> Column:
@@ -169,13 +174,13 @@ def lon_plus_km(lat: Column, lon: Column, km) -> Column:
 
 
 def sql_lat_plus_km(lat: str, km: str) -> str:
-    return f"({lat} + ({km} / {EARTH_RADIUS_KM}) * (180.0 / pi()))"
+    return f"({lat} + ({km} / {_d(EARTH_RADIUS_KM)}) * (180.0e0 / pi()))"
 
 
 def sql_lon_plus_km(lat: str, lon: str, km: str) -> str:
     return (
-        f"({lon} + {km} * (1.0 / ((pi() / 180.0) * {EARTH_RADIUS_KM})) "
-        f"/ cos({lat} * (pi() / 180.0)))"
+        f"({lon} + {km} * (1.0e0 / ((pi() / 180.0e0) * {_d(EARTH_RADIUS_KM)})) "
+        f"/ cos({lat} * (pi() / 180.0e0)))"
     )
 
 
@@ -209,14 +214,14 @@ def tile_y(lat: Column, zoom: int) -> Column:
 def sql_tile_x(lon: str, zoom: int) -> str:
     n = 1 << zoom
     return (
-        f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {float(n)}), 0), "
+        f"CAST(least(greatest(floor(({lon} + 180.0e0) / 360.0e0 * {_d(n)}), 0), "
         f"{n - 1}) AS BIGINT)"
     )
 
 
 def sql_tile_y(lat: str, zoom: int) -> str:
     n = 1 << zoom
-    clamped = f"least(greatest({lat}, {-MERCATOR_LAT_LIMIT}), {MERCATOR_LAT_LIMIT})"
-    rad = f"({clamped} * (pi() / 180.0))"
-    ty = f"floor((1.0 - ln(tan({rad}) + 1.0 / cos({rad})) / pi()) / 2.0 * {float(n)})"
+    clamped = f"least(greatest({lat}, {_d(-MERCATOR_LAT_LIMIT)}), {_d(MERCATOR_LAT_LIMIT)})"
+    rad = f"({clamped} * (pi() / 180.0e0))"
+    ty = f"floor((1.0e0 - ln(tan({rad}) + 1.0e0 / cos({rad})) / pi()) / 2.0e0 * {_d(n)})"
     return f"CAST(least(greatest({ty}, 0), {n - 1}) AS BIGINT)"
