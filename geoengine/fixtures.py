@@ -1,0 +1,106 @@
+"""Deterministic synthetic generators (FIXTURES.md) — seed-stable, no
+wall-clock, no unseeded random. The image+caption table matches
+BASELINE.json input_hint exactly:
+  (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+   caption:string, phash:int64) + derived lat/lon placement.
+
+Generation is distributed (mapInPandas over spark.range) so the generator
+itself scales with the cluster — at 10^12 rows the same plan fans out over
+executors; nothing is collected on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .images import encode_q6, phash64
+
+_ADJ = ["quiet", "bright", "ancient", "rapid", "smooth", "dense", "hollow", "pale"]
+_NOUN = ["harbor", "forest", "circuit", "meadow", "engine", "canyon", "archive", "tide"]
+
+SIZES = (16, 24, 32)
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, latitude double, longitude double"
+)
+
+
+def fnv1a64(s: str) -> int:
+    """FNV-1a 64-bit (FIXTURES.md §3) — implementable identically anywhere."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _make_row(i: int, seed: int) -> dict:
+    image_id = f"img{i:010d}"
+    rng = np.random.default_rng(seed ^ (i * 2654435761 % (1 << 63)))
+    w = SIZES[i % len(SIZES)]
+    h = SIZES[(i // 3) % len(SIZES)]
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if i % 10 == 7:
+        fmt, buf = "q6", encode_q6(px)
+        ph = phash64(np.frombuffer(buf, np.uint8).reshape(h, w, 3))
+    else:
+        fmt, buf = "raw", px.tobytes()
+        ph = phash64(px)
+    hv = fnv1a64(image_id)
+    return {
+        "image_id": image_id,
+        "bytes": buf,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": f"caption of {image_id}: {_ADJ[i % 8]} {_NOUN[(i // 8) % 8]}",
+        "phash": ph,  # phash64 already returns signed int64 range
+        "latitude": (hv % 1_700_000) / 10_000.0 - 85.0,
+        "longitude": (hv // 1_700_000 % 3_600_000) / 10_000.0 - 180.0,
+    }
+
+
+def images_table(spark: SparkSession, n: int, seed: int = 42,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic image+caption table of n rows."""
+    base = spark.range(0, n, 1, partitions or max(8, n // 50_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([_make_row(int(i), seed) for i in b["id"]])
+
+    return base.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def images_pandas(n: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side twin for unit tests / oracles."""
+    return pd.DataFrame([_make_row(i, seed) for i in range(n)])
+
+
+def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42) -> DataFrame:
+    """Seeded convex + star-concave polygons (FIXTURES.md §4)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_polys):
+        cx, cy = rng.uniform(-60, 60), rng.uniform(-150, 150)
+        k = int(rng.integers(5, 40))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.5, 5.0, k) if i % 3 == 0 else np.full(k, rng.uniform(1, 5))
+        rows.append(
+            {
+                "poly_id": f"z{i:04d}",
+                "ring": [
+                    {"lat": float(cx + r * np.sin(a)), "lon": float(cy + r * np.cos(a))}
+                    for a, r in zip(ang, rad)
+                ],
+            }
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )

@@ -1,0 +1,67 @@
+"""kNN ring-expansion vs brute-force equivalence (exactness property)."""
+
+import numpy as np
+import pandas as pd
+
+from geoengine.knn import knn_join_brute, knn_join_rings
+
+
+def _points(seed, n):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": [f"p{seed}_{i:05d}" for i in range(n)],
+            "latitude": rng.uniform(-75, 75, n),
+            "longitude": rng.uniform(-179.9, 179.9, n),
+        }
+    )
+
+
+def _key_set(df):
+    return set(zip(df["origin_id"], df["neighbor_id"], df["knn_rank"]))
+
+
+def test_rings_equals_brute(spark):
+    o = spark.createDataFrame(_points(11, 200))
+    nb = spark.createDataFrame(_points(12, 1000))
+    k = 5
+    brute = knn_join_brute(o, nb, k).select(
+        "origin_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    rings = knn_join_rings(o, nb, k).select(
+        "origin_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    assert len(brute) == 200 * k
+    assert _key_set(rings) == _key_set(brute)
+
+
+def test_rings_sparse_neighbors_fallback(spark):
+    # fewer neighbors than k forces the brute fallback path
+    o = spark.createDataFrame(_points(13, 50))
+    nb = spark.createDataFrame(_points(14, 3))
+    out = knn_join_rings(o, nb, 5, max_rounds=2).toPandas()
+    assert (out.groupby("origin_id").size() == 3).all()
+
+
+def test_rings_clustered_hot_region(spark):
+    # dense cluster (hot cells) + far outliers
+    rng = np.random.default_rng(15)
+    nb = pd.DataFrame(
+        {
+            "id": [f"n{i}" for i in range(500)],
+            "latitude": np.concatenate(
+                [rng.uniform(40, 41, 450), rng.uniform(-60, 60, 50)]
+            ),
+            "longitude": np.concatenate(
+                [rng.uniform(-74, -73, 450), rng.uniform(-170, 170, 50)]
+            ),
+        }
+    )
+    o = spark.createDataFrame(_points(16, 100))
+    brute = knn_join_brute(o, spark.createDataFrame(nb), 3).select(
+        "origin_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    rings = knn_join_rings(o, spark.createDataFrame(nb), 3).select(
+        "origin_id", "neighbor_id", "knn_rank"
+    ).toPandas()
+    assert _key_set(rings) == _key_set(brute)

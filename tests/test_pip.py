@@ -1,0 +1,55 @@
+"""Point-in-polygon vs numpy brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+
+from geoengine import fixtures
+from geoengine.pip import point_in_ring, points_in_polygons
+
+
+def test_point_in_ring_square():
+    ring_lat = np.array([0.0, 0.0, 10.0, 10.0])
+    ring_lon = np.array([0.0, 10.0, 10.0, 0.0])
+    lat = np.array([5.0, 15.0, -1.0, 9.99])
+    lon = np.array([5.0, 5.0, 5.0, 9.99])
+    got = point_in_ring(lat, lon, ring_lat, ring_lon)
+    assert got.tolist() == [True, False, False, True]
+
+
+def test_point_in_ring_concave():
+    # star-concave: outer square with a notch
+    ring_lat = np.array([0.0, 0.0, 10.0, 10.0, 5.0])
+    ring_lon = np.array([0.0, 10.0, 10.0, 0.0, 5.0])
+    inside_notch = point_in_ring(np.array([8.0]), np.array([1.0]), ring_lat, ring_lon)
+    assert isinstance(bool(inside_notch[0]), bool)  # deterministic
+
+
+def test_points_in_polygons_matches_bruteforce(spark):
+    polys = fixtures.polygons_table(spark, 15, seed=5)
+    rng = np.random.default_rng(6)
+    pts = pd.DataFrame(
+        {
+            "id": [f"p{i}" for i in range(2000)],
+            "latitude": rng.uniform(-70, 70, 2000),
+            "longitude": rng.uniform(-160, 160, 2000),
+        }
+    )
+    got = (
+        points_in_polygons(spark.createDataFrame(pts), polys)
+        .toPandas()
+    )
+    got_set = set(zip(got["point_id"], got["poly_id"]))
+
+    # brute force oracle
+    polys_pd = polys.toPandas()
+    want = set()
+    for _, pr in polys_pd.iterrows():
+        rl = np.array([v["lat"] for v in pr["ring"]])
+        rn = np.array([v["lon"] for v in pr["ring"]])
+        hits = point_in_ring(
+            pts["latitude"].to_numpy(), pts["longitude"].to_numpy(), rl, rn
+        )
+        for pid in pts["id"].to_numpy()[hits]:
+            want.add((pid, pr["poly_id"]))
+    assert got_set == want
+    assert len(want) > 0
