@@ -20,6 +20,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, DoubleType, LongType, StructField, StructType
+
+
+def _extended(df: DataFrame, *fields: StructField) -> StructType:
+    """Copy of df.schema + new fields (never mutate the cached schema)."""
+    return StructType(list(df.schema.fields) + list(fields))
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +108,7 @@ def hamming64(a: int, b: int) -> int:
 
 def with_computed_phash(df: DataFrame, out: str = "phash_computed") -> DataFrame:
     """Recompute phash from the payload (validates the stored column)."""
-    schema = df.schema.add(out, "long")
+    schema = _extended(df, StructField(out, LongType()))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -119,7 +125,7 @@ def with_computed_phash(df: DataFrame, out: str = "phash_computed") -> DataFrame
 def with_decode_stats(df: DataFrame) -> DataFrame:
     """Decode + per-image stats (mean/std per channel) — the 'feature
     extract' kernel shape over binary payloads."""
-    schema = df.schema.add("px_mean", "double").add("px_std", "double")
+    schema = _extended(df, StructField("px_mean", DoubleType()), StructField("px_std", DoubleType()))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -138,7 +144,7 @@ def with_decode_stats(df: DataFrame) -> DataFrame:
 def reencode_q6(df: DataFrame) -> DataFrame:
     """raw -> q6 transcode (the 'resize/compress' pipeline shape); carries a
     per-row PSNR column proving the >=40 dB lossy contract."""
-    schema = df.schema.add("bytes_q6", "binary").add("psnr_db", "double")
+    schema = _extended(df, StructField("bytes_q6", BinaryType()), StructField("psnr_db", DoubleType()))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -158,7 +164,7 @@ def reencode_q6(df: DataFrame) -> DataFrame:
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Deterministic area resize of the raw payload (real, no PIL)."""
-    schema = df.schema.add("bytes_resized", "binary")
+    schema = _extended(df, StructField("bytes_resized", BinaryType()))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -38,23 +38,30 @@ def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray,
     return inside
 
 
-@pandas_udf("boolean")
-def _pip_udf(
-    lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
-) -> pd.Series:
-    """Batch test: each row has its own polygon ring (arrays)."""
-    out = np.zeros(len(lat), dtype=bool)
-    la = lat.to_numpy(np.float64)
-    lo = lon.to_numpy(np.float64)
-    # group identical rings inside the batch so the vectorized kernel runs
-    # once per polygon, not per row
-    keys = ring_lat.map(lambda a: (len(a), float(a[0]), float(a[-1])))
-    for _, idx in pd.Series(range(len(lat))).groupby(keys):
-        i = idx.to_numpy()
-        rl = np.asarray(ring_lat.iloc[i[0]], dtype=np.float64)
-        rn = np.asarray(ring_lon.iloc[i[0]], dtype=np.float64)
-        out[i] = point_in_ring(la[i], lo[i], rl, rn)
-    return pd.Series(out)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _pip_udf():
+    @pandas_udf("boolean")
+    def _inner(
+        lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
+    ) -> pd.Series:
+        """Batch test: each row has its own polygon ring (arrays)."""
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        # group identical rings inside the batch so the vectorized kernel
+        # runs once per polygon, not per row
+        keys = ring_lat.map(lambda a: (len(a), float(a[0]), float(a[-1])))
+        for _, idx in pd.Series(range(len(lat))).groupby(keys):
+            i = idx.to_numpy()
+            rl = np.asarray(ring_lat.iloc[i[0]], dtype=np.float64)
+            rn = np.asarray(ring_lon.iloc[i[0]], dtype=np.float64)
+            out[i] = point_in_ring(la[i], lo[i], rl, rn)
+        return pd.Series(out)
+
+    return _inner
 
 
 def points_in_polygons(
@@ -108,7 +115,7 @@ def points_in_polygons(
     pts = with_grid_cell(points, half_bits)
     cand = pts.join(cov, "gkey")
     hit = cand.where(
-        _pip_udf(
+        _pip_udf()(
             F.col("latitude"), F.col("longitude"), F.col("_rlat"), F.col("_rlon")
         )
     )

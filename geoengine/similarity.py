@@ -1,0 +1,123 @@
+"""Approximate nearest-neighbor search over embedding columns
+(array<float>) — training-data pipeline operator.
+
+Baseline: brute-force cosine top-k as a broadcast join + window (exact,
+oracle-checkable). Scale path: random-hyperplane LSH bucketing — queries
+and corpus hash to sign-pattern buckets (multi-probe via bit flips), then
+the exact cosine runs only inside colliding buckets. All distance math is
+Column expressions (zip_with/aggregate, JVM codegen); the only Python is
+the hyperplane signature UDF (vectorized numpy matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: crossJoin(broadcast(corpus)) + window.
+    (query_id, neighbor_id, cosine, sim_rank); self-pairs excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(c))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "sim_rank")
+    )
+
+
+def make_hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf("long")
+    def _sig(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        signs = (m.astype(np.float64) @ planes) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return _sig
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN: equi-join on hyperplane sign bucket with multi-probe
+    (explode query bucket plus all single-bit flips). Approximate — recall
+    measured in tests, not guaranteed exact."""
+    sig = make_hyperplane_sig_udf(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", sig(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket0", sig(F.col("qv")))
+    if probe_bits >= 1:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("bucket0"))
+    q = q.withColumn("bucket", F.explode(probes)).drop("bucket0")
+    sim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", sim)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "sim_rank")
+    )
