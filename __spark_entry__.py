@@ -242,6 +242,167 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# batch 2: PIP, text/dedup extensions, embeddings, scale-path twins, images
+# --------------------------------------------------------------------------
+
+# fixed test polygon (wide diamond) for the PIP oracle — the derived lattice
+# points are line-correlated, so the ring must be wide to catch a sample
+PIP_RING = [(40.0, 0.0), (50.0, 40.0), (60.0, 0.0), (50.0, -40.0)]
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon: cell-prefiltered ray cast (north-rule)."""
+    from geoengine.pip import points_in_polygons
+
+    polys = spark.createDataFrame(
+        [("poly0", [{"lat": a, "lon": b} for a, b in PIP_RING])],
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )
+    pts = datasets.customer_points(spark, sf_dir)
+    return points_in_polygons(pts, polys).select(
+        F.col("point_id").alias("id"), "poly_id"
+    )
+
+
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via grid ring expansion (scale path) — same oracle as knn."""
+    out = knn_join(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        KNN_K,
+        strategy="rings",
+    )
+    return out.select(
+        "origin_id",
+        "neighbor_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
+def q_radius_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join with explicit hot-cell salting — result-invariant."""
+    from geoengine.index import radius_join_pairs_salted
+
+    return radius_join_pairs_salted(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        RADIUS_KM,
+        "km",
+        half_bits=6,
+        hot_threshold=5,
+        max_salt=8,
+    ).select(
+        "origin_id",
+        "neighbor_id",
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (blocked self-join)."""
+    from geoengine.text import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality metrics (pure Columns)."""
+    from geoengine.text import with_text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round("space_ratio", 6).alias("space_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "lang_pred",
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table."""
+    from geoengine.similarity import cosine_topk_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 29 == 0)
+    out = cosine_topk_brute(qs, emb, 3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("sim_rank").cast("long").alias("sim_rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: signature hashing is not
+    SQL-expressible)."""
+    from geoengine.text import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dup_pairs(docs, jaccard_threshold=0.4).select(
+        "doc1", "doc2", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from geoengine.text import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs, max_hamming=10)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling FNV-1a document fingerprints (rows-only)."""
+    from geoengine.text import make_fingerprint_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", make_fingerprint_udf()(F.col("text")).alias("fp"))
+
+
+def q_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image payload: stored vs recomputed 8x8-DCT phash (rows-only; the
+    deterministic image table is engine-generated, FIXTURES.md §3)."""
+    from geoengine.fixtures import images_table
+    from geoengine.images import with_computed_phash
+
+    imgs = images_table(spark, 1000, partitions=8)
+    out = with_computed_phash(imgs)
+    return out.select(
+        "image_id", "w", "h", "fmt", "phash", "phash_computed",
+        (F.col("phash") == F.col("phash_computed")).alias("phash_ok"),
+    )
+
+
+def q_images_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw->q6 transcode PSNR (>=40 dB lossy contract; rows-only)."""
+    from geoengine.fixtures import images_table
+    from geoengine.images import reencode_q6
+
+    imgs = images_table(spark, 500, partitions=8)
+    return reencode_q6(imgs).select(
+        "image_id", "fmt", F.round("psnr_db", 2).alias("psnr_db"),
+        (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+    )
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile assignment of the image table via derived placement
+    (rows-only; lat/lon from FNV-1a of image_id)."""
+    from geoengine.fixtures import images_table
+
+    imgs = images_table(spark, 1000, partitions=8)
+    return imgs.select(
+        "image_id",
+        exprs.tile_x(F.col("longitude"), TILE_ZOOM).alias("tile_x"),
+        exprs.tile_y(F.col("latitude"), TILE_ZOOM).alias("tile_y"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "radius_counts": q_radius_counts,
@@ -258,6 +419,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
+    "pip": q_pip,
+    "knn_rings": q_knn_rings,
+    "radius_salted": q_radius_salted,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "embedding_topk": q_embedding_topk,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "fingerprint": q_fingerprint,
+    "images_phash": q_images_phash,
+    "images_psnr": q_images_psnr,
+    "image_tiles": q_image_tiles,
 }
 
 
@@ -280,13 +453,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _sql_pip() -> str:
+    edges = []
+    k = len(PIP_RING)
+    for j in range(k):
+        yj, xj = PIP_RING[j]
+        yk, xk = PIP_RING[(j - 1) % k]
+        edges.append(f"({yj!r}e0, {xj!r}e0, {yk!r}e0, {xk!r}e0)")
+    vals = ", ".join(edges)
+    return f"""
+        WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                     FROM customer),
+        edges(yj, xj, yk, xk) AS (VALUES {vals})
+        SELECT id, 'poly0' AS poly_id FROM pts p
+        WHERE (SELECT count(*) FROM edges e
+               WHERE ((e.yj > p.lat) != (e.yk > p.lat))
+                 AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
+                              / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
+def _sql_text_stats() -> str:
+    from geoengine.text import STOPWORDS_EN
+
+    terms = []
+    for w in STOPWORDS_EN:
+        padded = "(' ' || text || ' ')"
+        terms.append(
+            f"((length({padded}) - length(replace({padded}, ' {w} ', '')))"
+            f" / {float(len(w) + 2)!r}e0)"
+        )
+    stop_hits = " + ".join(terms)
+    n_sp = "(length(text) - length(replace(text, ' ', '')))"
+    return f"""
+        SELECT doc_id,
+               CAST(({n_sp} + 1.0e0) AS BIGINT) AS n_tokens,
+               round({n_sp} / (1.0e0 * length(text)), 6) AS space_ratio,
+               round(({stop_hits}) / ({n_sp} + 1.0e0), 6) AS stopword_ratio,
+               CASE WHEN (({stop_hits}) / ({n_sp} + 1.0e0)) > 0.05e0
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     dist_fixed = exprs.sql_dist_km("lat", "lon", "38.907192e0", "-77.036873e0")
     hb = CELL_BITS // 2
     sql_ix = exprs.sql_grid_ix("lon", hb)
     sql_iy = exprs.sql_grid_iy("lat", hb)
     dist_pts = exprs.sql_dist_km("c.lat", "c.lon", "s.lat", "s.lon")
+    knn_sql = f"""
+            {_SQL_POINTS}
+            SELECT origin_id, neighbor_id, knn_rank, round(d, 6) AS dist_km
+            FROM (
+              SELECT c.id AS origin_id, s.id AS neighbor_id, {dist_pts} AS d,
+                     row_number() OVER (PARTITION BY c.id
+                                        ORDER BY {dist_pts}, s.id) AS knn_rank
+              FROM c CROSS JOIN s
+            )
+            WHERE knn_rank <= {KNN_K}
+        """
+    dot_qe = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    sq_norm = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
     return {
+        "pip": _sql_pip(),
+        "text_stats": _sql_text_stats(),
+        "knn_rings": knn_sql,
+        "radius_salted": _SQL_PAIRS,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, source,
+                              list_distinct(string_split(text, ' ')) AS words
+                       FROM documents)
+            SELECT doc1, doc2, round(jaccard, 6) AS jaccard FROM (
+              SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+                     CAST(len(list_intersect(l.words, r.words)) AS DOUBLE)
+                     / CAST(len(l.words) + len(r.words)
+                            - len(list_intersect(l.words, r.words)) AS DOUBLE)
+                     AS jaccard
+              FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+            ) WHERE jaccard >= 0.8e0
+        """,
+        "embedding_topk": f"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 29 = 0)
+            SELECT query_id, neighbor_id, sim_rank, round(cosine, 6) AS cosine
+            FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                     AS sim_rank
+              FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       {dot_qe} / ({sq_norm.format(v='q.embedding')}
+                                   * {sq_norm.format(v='e.embedding')}) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE q.vec_id != e.vec_id
+              )
+            ) WHERE sim_rank <= 3
+        """,
         "radius_pairs": _SQL_PAIRS,
         "radius_counts": f"""
             {_SQL_POINTS}

@@ -1,0 +1,139 @@
+"""Headline benchmark — run:  python bench.py
+
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows": {...}, "rows_per_sec": {...}}
+
+Execution is forced with a noop-format write (full plan runs, nothing
+collected to the driver). The two BASELINE.json headline numbers are
+neighborhood-join rows/sec and tile-assignment rows/sec; scaling evidence
+(local[8] vs local[32]) is produced by tools/scaling_run.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geoengine import datasets, exprs  # noqa: E402
+from geoengine.fixtures import images_table  # noqa: E402
+from geoengine.images import with_computed_phash  # noqa: E402
+from geoengine.join import radius_join_pairs  # noqa: E402
+from geoengine.knn import knn_join_rings  # noqa: E402
+from geoengine.session import get_spark  # noqa: E402
+from geoengine.text import exact_dedup, minhash_near_dup_pairs  # noqa: E402
+from geoengine.topk import top_n_per_origin  # noqa: E402
+
+JOIN_RADIUS_KM = 100.0
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "60000"))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def orders_points(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return datasets.with_point(df, "o_orderkey", 41, 97).select(
+        F.col("o_orderkey").alias("id"), "latitude", "longitude"
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("geoengine-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows: dict[str, int] = {}
+    secs: dict[str, float] = {}
+
+    def run(name: str, df_fn, count_df_fn=None):
+        t0 = time.time()
+        df = df_fn()
+        force(df)
+        secs[name] = round(time.time() - t0, 3)
+        if count_df_fn is not None:
+            rows[name] = count_df_fn()
+
+    origins = orders_points(spark, sf_dir)
+    customers = datasets.customer_points(spark, sf_dir)
+    suppliers = datasets.supplier_points(spark, sf_dir)
+    events = datasets.event_points(spark, sf_dir)
+    n_origins = origins.count()
+
+    # 1) neighborhood join: orders (150k @ sf0.1) x customers (15k), 100 km
+    pairs = lambda: radius_join_pairs(origins, customers, JOIN_RADIUS_KM, "km")
+    run("radius_join", pairs)
+    n_pairs = pairs().count()
+    rows["radius_join"] = n_pairs
+
+    # 2) radius search end-to-end with top-k (reference searchMiles shape)
+    run("radius_topk", lambda: top_n_per_origin(pairs(), 10))
+
+    # 3) kNN rings (scale path)
+    run(
+        "knn_rings",
+        lambda: knn_join_rings(customers, suppliers, 5),
+        lambda: 5 * customers.count(),
+    )
+
+    # 4) tile assignment + rollup over events
+    def tiles():
+        return events.select(
+            "id",
+            exprs.tile_x(F.col("longitude"), 12).alias("tile_x"),
+            exprs.tile_y(F.col("latitude"), 12).alias("tile_y"),
+        )
+
+    run("tile_assign", tiles, lambda: events.count())
+    run(
+        "tile_rollup",
+        lambda: tiles().groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")),
+    )
+
+    # 5) image payload: deterministic table -> phash kernel (Arrow batches)
+    run(
+        "images_phash",
+        lambda: with_computed_phash(images_table(spark, N_IMAGES, partitions=cpus * 2)),
+        lambda: N_IMAGES,
+    )
+
+    # 6) text dedup ops over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run("dedup_exact", lambda: exact_dedup(docs))
+    run("minhash_lsh", lambda: minhash_near_dup_pairs(docs, jaccard_threshold=0.5))
+
+    total = round(sum(secs.values()), 3)
+    rps = {
+        "neighborhood_join_pairs_per_sec": round(n_pairs / secs["radius_join"], 1),
+        "neighborhood_join_origins_per_sec": round(n_origins / secs["radius_join"], 1),
+        "tile_assign_rows_per_sec": round(rows["tile_assign"] / secs["tile_assign"], 1),
+        "images_phash_per_sec": round(N_IMAGES / secs["images_phash"], 1),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "geoengine headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": secs,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "rows": rows,
+                "rows_per_sec": rps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Neighbor-side cell index: stats + explicit hot-cell salting.
+
+The reference's "index" is an external NoSQL table grouped by exact cell
+(SparkDS.scala:19-26, Z-ordered). Here the index is just the grid-cell key
+on the build side of the join — plus the piece Spark does NOT give you for
+free at 10^12-point scale: deterministic skew handling. AQE's skew-join
+split is kept on as a backstop (session.py), but salting is explicit,
+testable, and works for broadcast-unfriendly hot cells (urban cores where
+one cell holds 10^8 points while the median holds 10^2):
+
+  build side:  salt = pmod(xxhash64(id), s)   on hot cells (s from histogram)
+  probe side:  explode(sequence(0, s-1))      replicate only into hot cells
+  join key:    gkey * MAX_SALT + salt         (still a dense int64)
+
+Salting is result-invariant (property-tested in tests/test_salting.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import exprs
+from .geodesy import to_km
+from .join import explode_covering_cells, validate_points, with_grid_cell
+
+MAX_SALT = 256
+
+
+def cell_histogram(neighbors: DataFrame, half_bits: int) -> DataFrame:
+    """Per-cell point counts (the engine's index statistics)."""
+    return (
+        with_grid_cell(validate_points(neighbors), half_bits)
+        .groupBy("gkey")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def hot_cells(
+    neighbors: DataFrame, half_bits: int, threshold: int, max_salt: int = MAX_SALT
+) -> DataFrame:
+    """Cells whose population exceeds threshold, with a salt factor
+    ceil(n/threshold) capped at max_salt."""
+    return (
+        cell_histogram(neighbors, half_bits)
+        .where(F.col("n_points") > threshold)
+        .select(
+            "gkey",
+            F.least(
+                F.ceil(F.col("n_points") / float(threshold)), F.lit(max_salt)
+            ).cast("int").alias("salt_factor"),
+        )
+    )
+
+
+def radius_join_pairs_salted(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius: float,
+    unit: str = "km",
+    half_bits: int = 12,
+    hot_threshold: int = 100_000,
+    max_salt: int = MAX_SALT,
+    origin_prefix: str = "origin_",
+    neighbor_prefix: str = "neighbor_",
+) -> DataFrame:
+    """radius_join_pairs twin with explicit hot-cell salting (same output)."""
+    radius_km = to_km(float(radius), unit)
+    o = validate_points(origins)
+    nb = validate_points(neighbors)
+    hot = F.broadcast(hot_cells(nb, half_bits, hot_threshold, max_salt))
+
+    o = o.select([F.col(c).alias(origin_prefix + c) for c in o.columns])
+    nb = nb.select([F.col(c).alias(neighbor_prefix + c) for c in nb.columns])
+
+    build = (
+        with_grid_cell(
+            nb, half_bits, lat=neighbor_prefix + "latitude",
+            lon=neighbor_prefix + "longitude",
+        )
+        .join(hot, "gkey", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("salt_factor").isNotNull(),
+                F.pmod(
+                    F.xxhash64(F.col(neighbor_prefix + "id")),
+                    F.col("salt_factor"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("skey", F.col("gkey") * MAX_SALT + F.col("_salt"))
+        .drop("salt_factor", "_salt", "gkey")
+    )
+    probe = (
+        explode_covering_cells(
+            o, radius_km, half_bits, lat=origin_prefix + "latitude",
+            lon=origin_prefix + "longitude",
+        )
+        .join(hot, "gkey", "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("salt_factor"), F.lit(1)) - 1)
+            ),
+        )
+        .withColumn("skey", F.col("gkey") * MAX_SALT + F.col("_salt"))
+        .drop("salt_factor", "_salt", "gkey")
+    )
+    d_km = exprs.dist_km(
+        F.col(origin_prefix + "latitude"),
+        F.col(origin_prefix + "longitude"),
+        F.col(neighbor_prefix + "latitude"),
+        F.col(neighbor_prefix + "longitude"),
+    )
+    return (
+        probe.join(build, "skey")
+        .withColumn("distance_km", d_km)
+        .where(F.col("distance_km") <= F.lit(radius_km))
+        .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit)))
+        .drop("skey")
+    )
+
+
+def clustered_index_write(
+    neighbors: DataFrame, path: str, half_bits: int = 20
+) -> None:
+    """Materialized index layout (reference R6: saveAsTable + ZORDER BY key,
+    SparkDS.scala:25-26). Range-partition + sort on the 1-D interleaved cell
+    key == Z-order along that key; parquet min/max stats then give row-group
+    skipping for any cell-range predicate."""
+    hb = half_bits
+    keyed = validate_points(neighbors).withColumn(
+        "cell",
+        exprs.interleave(
+            exprs.grid_ix(F.col("longitude"), hb),
+            exprs.grid_iy(F.col("latitude"), hb),
+            hb,
+        ),
+    )
+    (
+        keyed.repartitionByRange(F.col("cell"))
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,124 @@
+"""Checkpoint/resume + per-partition lineage & metrics (north_rule).
+
+Batch snapshot semantics over plain parquet behind a small catalog seam —
+an Iceberg catalog can replace the manifest with real snapshots via config;
+this sandbox has no Iceberg jars (SURVEY.md §7 risk note), so the layout is:
+
+    <root>/
+      manifest.json          — committed buckets: lineage + metrics
+      bucket=<i>/*.parquet   — output of bucket i (atomic: tmp dir + rename)
+
+A "bucket" is a deterministic horizontal slice of the input keyspace
+(pmod(xxhash64(key), n_buckets)). ``run_with_checkpoint`` executes only the
+buckets missing from the manifest — kill it anywhere, rerun, and completed
+work is never recomputed; output equals the single-shot run
+(tests/test_snapshots.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "manifest.json")
+
+
+def read_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"buckets": {}, "schema_version": 1}
+
+
+def _commit_bucket(root: str, bucket: int, meta: dict) -> None:
+    m = read_manifest(root)
+    m["buckets"][str(bucket)] = meta
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(root))
+
+
+def bucket_of(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+
+
+def run_with_checkpoint(
+    build: Callable[[int], DataFrame],
+    root: str,
+    n_buckets: int,
+    lineage: dict | None = None,
+) -> dict:
+    """Execute build(bucket_id) -> DataFrame for every uncommitted bucket.
+
+    Each bucket writes to a tmp dir then renames (atomic on one FS) and is
+    recorded in the manifest with row count, wall seconds, and caller
+    lineage. Returns the final manifest.
+    """
+    os.makedirs(root, exist_ok=True)
+    m = read_manifest(root)
+    for b in range(n_buckets):
+        if str(b) in m["buckets"]:
+            continue
+        t0 = time.time()
+        df = build(b)
+        final = os.path.join(root, f"bucket={b}")
+        tmp = os.path.join(root, f"_tmp_bucket={b}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        n_rows = (
+            SparkSession.getActiveSession()
+            .read.parquet(tmp)
+            .count()
+        )
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        _commit_bucket(
+            root,
+            b,
+            {
+                "rows": n_rows,
+                "seconds": round(time.time() - t0, 3),
+                "lineage": lineage or {},
+            },
+        )
+        m = read_manifest(root)
+    return m
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Union of all committed buckets."""
+    m = read_manifest(root)
+    paths = [os.path.join(root, f"bucket={b}") for b in sorted(m["buckets"], key=int)]
+    if not paths:
+        raise FileNotFoundError(f"no committed buckets under {root}")
+    return spark.read.parquet(*paths)
+
+
+def metrics_table(spark: SparkSession, root: str) -> DataFrame:
+    """Per-partition (bucket) metrics as a DataFrame (north_rule lineage +
+    metrics tables)."""
+    m = read_manifest(root)
+    rows = [
+        {
+            "bucket": int(b),
+            "rows": v["rows"],
+            "seconds": float(v["seconds"]),
+            "lineage": json.dumps(v.get("lineage", {}), sort_keys=True),
+        }
+        for b, v in m["buckets"].items()
+    ]
+    return spark.createDataFrame(
+        rows, schema="bucket int, rows long, seconds double, lineage string"
+    )

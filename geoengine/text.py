@@ -190,7 +190,7 @@ def simhash_near_dup_pairs(
             F.expr(
                 f"transform(sequence(0, {nblocks - 1}), "
                 f"b -> struct(b AS blk, "
-                f"(simhash >> (b * {block_bits})) & {mask} AS val))"
+                f"shiftright(simhash, b * {block_bits}) & {mask} AS val))"
             )
         ).alias("bb"),
     ).select("doc", "simhash", "bb.blk", "bb.val")

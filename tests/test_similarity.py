@@ -1,0 +1,39 @@
+"""Embedding similarity: brute-force exactness vs numpy; LSH recall."""
+
+import numpy as np
+import pandas as pd
+
+from geoengine import similarity
+
+
+def _vecs(spark, n, dim=32, seed=31):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, m))})
+    return spark.createDataFrame(pdf), m
+
+
+def test_brute_topk_matches_numpy(spark):
+    df, m = _vecs(spark, 200)
+    k = 5
+    got = similarity.cosine_topk_brute(df, df, k).toPandas()
+    md = m.astype(np.float64)
+    sims = (md @ md.T) / (
+        np.linalg.norm(md, axis=1)[:, None] * np.linalg.norm(md, axis=1)[None, :]
+    )
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(0, 200, 17):
+        want = set(np.argsort(-sims[q])[:k].tolist())
+        have = set(got[got["query_id"] == q]["neighbor_id"].tolist())
+        assert have == want, f"query {q}"
+
+
+def test_lsh_recall_reasonable(spark):
+    df, m = _vecs(spark, 400)
+    k = 3
+    exact = similarity.cosine_topk_brute(df, df, k).toPandas()
+    approx = similarity.cosine_topk_lsh(df, df, k, dim=32, n_planes=10).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall

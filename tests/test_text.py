@@ -1,0 +1,95 @@
+"""Text operators: exact dedup, MinHash-LSH recall vs exact Jaccard,
+SimHash, fingerprint determinism, quality/lang stats."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoengine import text
+
+
+def _docs_with_dups(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the trip north",
+        "sphinx of black quartz judge my vow said the curator slowly",
+        "inside the warehouse the workers stack the crates near the door",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):  # exact dups
+            rows.append({"doc_id": i, "text": b, "source": "s0"})
+            i += 1
+        # near dup: one word changed
+        rows.append({"doc_id": i, "text": b.replace("the", "thy", 1), "source": "s0"})
+        i += 1
+    for j in range(30):  # unrelated noise
+        rng = np.random.default_rng(j)
+        words = [f"w{rng.integers(0, 5000)}" for _ in range(12)]
+        rows.append({"doc_id": i, "text": " ".join(words), "source": "s1"})
+        i += 1
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_exact_dedup_groups(spark):
+    d = text.exact_dedup(_docs_with_dups(spark)).toPandas()
+    assert (d["n_dups"] == 3).sum() == 4  # four triplicated bases
+    assert d["n_dups"].sum() == 4 * 4 + 30
+
+
+def test_minhash_finds_near_dups(spark):
+    docs = _docs_with_dups(spark)
+    pairs = text.minhash_near_dup_pairs(
+        docs, num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).toPandas()
+    got = set(zip(pairs["doc1"], pairs["doc2"]))
+    # every exact-dup pair within a triplet must be found (jaccard 1.0)
+    for base in range(4):
+        ids = [base * 4, base * 4 + 1, base * 4 + 2]
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert (a, b) in got
+    # near-dup (one-word change) should also collide in >=1 band
+    assert (0, 3) in got or (1, 3) in got or (2, 3) in got
+    # unrelated noise docs must not pair with the bases
+    noise_ids = set(range(16, 46))
+    assert not any((a in noise_ids) != (b in noise_ids) for a, b in got)
+
+
+def test_simhash_near_dup(spark):
+    docs = _docs_with_dups(spark)
+    pairs = text.simhash_near_dup_pairs(docs, max_hamming=6).toPandas()
+    got = set(zip(pairs["doc1"], pairs["doc2"]))
+    assert (0, 1) in got and (4, 5) in got  # exact dups: hamming 0
+    assert all(h <= 6 for h in pairs["hamming"])
+
+
+def test_fingerprint_deterministic(spark):
+    docs = _docs_with_dups(spark)
+    fp = text.make_fingerprint_udf()
+    from pyspark.sql import functions as F
+
+    out = docs.select("doc_id", "text", fp(F.col("text")).alias("fp")).toPandas()
+    by_text = out.groupby("text")["fp"].nunique()
+    assert (by_text == 1).all()  # same text -> same fingerprint
+    assert out["fp"].nunique() > 30  # distinct texts -> distinct fps
+
+
+def test_text_stats_and_lang(spark):
+    docs = _docs_with_dups(spark)
+    out = text.with_text_stats(docs).toPandas()
+    en = out[out["doc_id"] == 0].iloc[0]
+    assert en["lang_pred"] == "en"  # 'the' rich sentence
+    noise = out[out["doc_id"] == 20].iloc[0]
+    assert noise["lang_pred"] == "other"
+    assert (out["n_tokens"] > 0).all()
+    assert ((out["space_ratio"] > 0) & (out["space_ratio"] < 1)).all()
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    docs = _docs_with_dups(spark)
+    pairs = text.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    got = set(zip(pairs["doc1"], pairs["doc2"]))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
