@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .images import encode_q6, phash64
+from .images import encode_q6, phash64_batch
 
 _ADJ = ["quiet", "bright", "ancient", "rapid", "smooth", "dense", "hollow", "pale"]
 _NOUN = ["harbor", "forest", "circuit", "meadow", "engine", "canyon", "archive", "tide"]
@@ -39,30 +39,50 @@ def fnv1a64(s: str) -> int:
     return h
 
 
+def _make_batch(ids: list[int], seed: int) -> pd.DataFrame:
+    """Deterministic rows for a batch of indices; phash computed as batched
+    matmuls per (h, w) shape group."""
+    rows = []
+    for i in ids:
+        image_id = f"img{i:010d}"
+        rng = np.random.default_rng(seed ^ (i * 2654435761 % (1 << 63)))
+        w = SIZES[i % len(SIZES)]
+        h = SIZES[(i // 3) % len(SIZES)]
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 10 == 7:
+            fmt = "q6"
+            buf = encode_q6(px)
+            px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        else:
+            fmt, buf = "raw", px.tobytes()
+        hv = fnv1a64(image_id)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": buf,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"caption of {image_id}: {_ADJ[i % 8]} {_NOUN[(i // 8) % 8]}",
+                "_px": px,
+                "latitude": (hv % 1_700_000) / 10_000.0 - 85.0,
+                "longitude": (hv // 1_700_000 % 3_600_000) / 10_000.0 - 180.0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    ph = np.zeros(len(df), dtype=np.int64)
+    for (h, w), idx in df.groupby(["h", "w"]).groups.items():
+        pos = df.index.get_indexer(idx)
+        ph[pos] = phash64_batch(np.stack([df["_px"].iloc[p] for p in pos]))
+    df["phash"] = ph
+    return df.drop(columns="_px")[
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+         "latitude", "longitude"]
+    ]
+
+
 def _make_row(i: int, seed: int) -> dict:
-    image_id = f"img{i:010d}"
-    rng = np.random.default_rng(seed ^ (i * 2654435761 % (1 << 63)))
-    w = SIZES[i % len(SIZES)]
-    h = SIZES[(i // 3) % len(SIZES)]
-    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 10 == 7:
-        fmt, buf = "q6", encode_q6(px)
-        ph = phash64(np.frombuffer(buf, np.uint8).reshape(h, w, 3))
-    else:
-        fmt, buf = "raw", px.tobytes()
-        ph = phash64(px)
-    hv = fnv1a64(image_id)
-    return {
-        "image_id": image_id,
-        "bytes": buf,
-        "w": w,
-        "h": h,
-        "fmt": fmt,
-        "caption": f"caption of {image_id}: {_ADJ[i % 8]} {_NOUN[(i // 8) % 8]}",
-        "phash": ph,  # phash64 already returns signed int64 range
-        "latitude": (hv % 1_700_000) / 10_000.0 - 85.0,
-        "longitude": (hv // 1_700_000 % 3_600_000) / 10_000.0 - 180.0,
-    }
+    return _make_batch([i], seed).iloc[0].to_dict()
 
 
 def images_table(spark: SparkSession, n: int, seed: int = 42,
@@ -72,14 +92,14 @@ def images_table(spark: SparkSession, n: int, seed: int = 42,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield pd.DataFrame([_make_row(int(i), seed) for i in b["id"]])
+            yield _make_batch([int(i) for i in b["id"]], seed)
 
     return base.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
 def images_pandas(n: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side twin for unit tests / oracles."""
-    return pd.DataFrame([_make_row(i, seed) for i in range(n)])
+    return _make_batch(list(range(n)), seed)
 
 
 def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42) -> DataFrame:

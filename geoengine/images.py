@@ -80,21 +80,30 @@ def resize_block_mean(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """8x8 DCT sign hash: gray -> 32x32 -> DCT-II -> top-left 8x8 minus DC,
-    threshold at median -> 64-bit int (FIXTURES.md §3)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    g32 = resize_block_mean(gray, 32, 32)
+_BIT_SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
+
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized 8x8 DCT sign hash over a (B, H, W, 3) uint8 stack:
+    gray -> 32x32 -> DCT-II -> top-left 8x8 minus DC, threshold at median
+    -> int64[B] (FIXTURES.md §3). One matmul pair for the whole batch."""
+    gray = pixels.astype(np.float64).mean(axis=3)  # (B, H, W)
+    h, w = gray.shape[1:]
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g32 = gray[:, ys][:, :, xs]  # (B, 32, 32)
     m = _dct_matrix(32)
-    d = m @ g32 @ m.T
-    block = d[:8, :8].copy()
-    vals = block.ravel()
-    med = np.median(vals[1:])  # exclude DC
-    bits = (vals > med).astype(np.uint64)
-    acc = np.uint64(0)
-    for b in bits:
-        acc = (acc << np.uint64(1)) | b
-    return int(acc.astype(np.int64))
+    d = m @ g32 @ m.T  # batched matmul
+    block = d[:, :8, :8].reshape(len(gray), 64)
+    med = np.median(block[:, 1:], axis=1)  # exclude DC
+    bits = (block > med[:, None]).astype(np.uint64)
+    acc = (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    return acc.astype(np.int64)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Single-image convenience wrapper over phash64_batch."""
+    return int(phash64_batch(pixels[None, ...])[0])
 
 
 def hamming64(a: int, b: int) -> int:
@@ -112,11 +121,16 @@ def with_computed_phash(df: DataFrame, out: str = "phash_computed") -> DataFrame
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            vals = [
-                phash64(decode_image(buf, w, h, fmt))
-                for buf, w, h, fmt in zip(b["bytes"], b["w"], b["h"], b["fmt"])
-            ]
-            b[out] = pd.Series(vals, dtype="int64")
+            vals = np.zeros(len(b), dtype=np.int64)
+            # group rows by (h, w, fmt) so the DCT runs as one batched matmul
+            shapes = pd.Series(zip(b["h"], b["w"], b["fmt"]), index=b.index)
+            for (h, w, fmt), idx in b.groupby(shapes.values).groups.items():
+                pos = b.index.get_indexer(idx)
+                stack = np.stack(
+                    [decode_image(b["bytes"].iloc[p], w, h, fmt) for p in pos]
+                )
+                vals[pos] = phash64_batch(stack)
+            b[out] = pd.Series(vals, index=b.index)
             yield b
 
     return df.mapInPandas(gen, schema=schema)

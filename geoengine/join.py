@@ -134,6 +134,94 @@ def explode_covering_cells(
     return out_df
 
 
+def radius_join_pairs_prefix(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius: float,
+    unit: str = "km",
+    bits: int = 40,
+    origin_prefix: str = "origin_",
+    neighbor_prefix: str = "neighbor_",
+    validate: bool = True,
+) -> DataFrame:
+    """Bit-exact PARITY mode of the reference's candidate retrieval (R10a):
+    per-origin searchSpace prefix (GeoSearch.scala:109-123) matched as
+    ``neighbor_cell LIKE 'prefix%'`` (SparkDS.scala:70-78) — expressed as a
+    union of equi-joins grouped by distinct prefix length (<= bits values,
+    typically 3-6): for each length L, join on
+    ``neighbor_cell >> (bits - L) == origin_prefix``.
+
+    Reproduces the reference's retrieval exactly, INCLUDING its bbox
+    under-coverage at high latitude (lon offset uses the center latitude,
+    GeoSearch.scala:134-151) and its empty-prefix full-scan degradation
+    (LIKE '%'). The engine-default radius_join_pairs() is the sound one;
+    this mode exists for output parity claims.
+    """
+    from . import udfs
+
+    radius_km = to_km(float(radius), unit)
+    if validate:
+        origins = validate_points(origins)
+        neighbors = validate_points(neighbors)
+
+    o = origins.select(
+        [F.col(c).alias(origin_prefix + c) for c in origins.columns]
+    )
+    nb = neighbors.select(
+        [F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
+    )
+
+    ss = udfs.make_search_space_udf(bits)
+    o = o.withColumn(
+        "_ss",
+        ss(
+            F.col(origin_prefix + "latitude"),
+            F.col(origin_prefix + "longitude"),
+            F.lit(radius_km),
+        ),
+    ).select("*", F.col("_ss.prefix_bits").alias("_pb"), F.col("_ss.prefix_len").alias("_pl")).drop("_ss")
+
+    cell_col = udfs.make_cell_encode_udf(bits)
+    nb = nb.withColumn(
+        "_cell",
+        cell_col(
+            F.col(neighbor_prefix + "latitude"),
+            F.col(neighbor_prefix + "longitude"),
+        ),
+    )
+
+    lens = [r["_pl"] for r in o.select("_pl").distinct().collect()]
+    parts = []
+    for L in sorted(lens):
+        o_l = o.where(F.col("_pl") == L)
+        if L == 0:
+            # empty prefix == LIKE '%' full scan (reference degradation)
+            parts.append(o_l.crossJoin(nb))
+        else:
+            nb_l = nb.withColumn(
+                "_pb", F.shiftrightunsigned(F.col("_cell"), bits - int(L))
+            )
+            parts.append(o_l.join(nb_l, "_pb"))
+    if not parts:
+        return o.limit(0).crossJoin(nb.limit(0))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p, allowMissingColumns=True)
+
+    d_km = exprs.dist_km(
+        F.col(origin_prefix + "latitude"),
+        F.col(origin_prefix + "longitude"),
+        F.col(neighbor_prefix + "latitude"),
+        F.col(neighbor_prefix + "longitude"),
+    )
+    return (
+        cand.withColumn("distance_km", d_km)
+        .where(F.col("distance_km") <= F.lit(radius_km))
+        .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit)))
+        .drop("_pb", "_pl", "_cell")
+    )
+
+
 def radius_join_pairs(
     origins: DataFrame,
     neighbors: DataFrame,

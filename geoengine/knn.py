@@ -93,7 +93,10 @@ def knn_join_rings(
     ).withColumn("_oiy", exprs.grid_iy(F.col("origin_latitude"), hb))
 
     results = []
+    cached = []
     r = 1
+    pending = pending.cache()
+    cached.append(pending)
     for _ in range(max_rounds):
         if not pending.take(1):
             break
@@ -131,10 +134,12 @@ def knn_join_rings(
         cand = cand.join(kth, "origin_id")
         done = cand.where((F.col("_cnt") >= k) & (F.col("_dk") <= guar)).drop(
             "_dk", "_cnt", "_oix", "_oiy"
-        )
+        ).cache()  # each round's output is read twice (anti-join + union)
+        cached.append(done)
         results.append(done)
         done_ids = done.select("origin_id").distinct()
-        pending = pending.join(done_ids, "origin_id", "left_anti")
+        pending = pending.join(done_ids, "origin_id", "left_anti").cache()
+        cached.append(pending)
         r *= 2
 
     # brute-force fallback for origins no round could certify
