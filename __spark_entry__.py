@@ -403,6 +403,44 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius_pairs_miles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 unit surface: same join, radius and reported distance in miles
+    (reference reports in inquiry unit, SparkDS.scala:84-86)."""
+    pairs = radius_join_pairs(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        300.0,
+        "miles",
+    )
+    return pairs.select(
+        "origin_id", "neighbor_id", F.round("distance", 6).alias("dist_mi")
+    )
+
+
+def q_explode_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14+R21: nested SearchResult assembly then explode back to rows
+    (the notebook's post-processing pivot, 01_geospatial_searches.scala:193)."""
+    top = top_n_per_origin(_pairs(spark, sf_dir), TOPK_N)
+    nested = assemble_search_results(top, unit="km", radius=RADIUS_KM)
+    return nested.select(
+        F.col("origin.id").alias("origin_id"),
+        F.explode("neighbors").alias("n"),
+    ).select(
+        "origin_id",
+        F.col("n.value.id").alias("neighbor_id"),
+        F.round(F.col("n.euclideanDistance"), 6).alias("dist_km"),
+    )
+
+
+def q_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 parity quirks: reference SortedSet fold == keep the N FARTHEST
+    within radius, ties deduped (DataStore.scala:16-24)."""
+    top = top_n_per_origin(_pairs(spark, sf_dir), TOPK_N, parity_topn=True)
+    return top.select(
+        "origin_id", "neighbor_id", F.round("distance_km", 6).alias("dist_km")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "radius_counts": q_radius_counts,
@@ -431,6 +469,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_phash": q_images_phash,
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
+    "radius_pairs_miles": q_radius_pairs_miles,
+    "explode_results": q_explode_results,
+    "topk_parity": q_topk_parity,
 }
 
 
@@ -555,6 +596,43 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id != e.vec_id
               )
             ) WHERE sim_rank <= 3
+        """,
+        "radius_pairs_miles": f"""
+            {_SQL_POINTS}
+            SELECT c.id AS origin_id, s.id AS neighbor_id,
+                   round({_SQL_DIST_CS} * 0.621371e0, 6) AS dist_mi
+            FROM c CROSS JOIN s
+            WHERE {_SQL_DIST_CS} <= (300.0e0 * 1.60934e0)
+        """,
+        "explode_results": f"""
+            {_SQL_POINTS}
+            SELECT origin_id, neighbor_id, round(d, 6) AS dist_km
+            FROM (
+              SELECT c.id AS origin_id, s.id AS neighbor_id, {dist_pts} AS d,
+                     row_number() OVER (PARTITION BY c.id
+                                        ORDER BY {dist_pts}, s.id) AS rnk
+              FROM c CROSS JOIN s
+              WHERE {dist_pts} <= {RADIUS_KM!r}e0
+            )
+            WHERE rnk <= {TOPK_N}
+        """,
+        "topk_parity": f"""
+            {_SQL_POINTS},
+            pairs AS (
+              SELECT c.id AS origin_id, s.id AS neighbor_id, {dist_pts} AS d
+              FROM c CROSS JOIN s
+              WHERE {dist_pts} <= {RADIUS_KM!r}e0
+            ),
+            dd AS (
+              SELECT origin_id, d, min(neighbor_id) AS neighbor_id
+              FROM pairs GROUP BY origin_id, d
+            )
+            SELECT origin_id, neighbor_id, round(d, 6) AS dist_km
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY origin_id
+                                           ORDER BY d DESC, neighbor_id) AS rn
+              FROM dd
+            ) WHERE rn <= {TOPK_N}
         """,
         "radius_pairs": _SQL_PAIRS,
         "radius_counts": f"""

@@ -28,12 +28,26 @@ def test_brute_topk_matches_numpy(spark):
         assert have == want, f"query {q}"
 
 
+def _clustered_vecs(spark, n, dim=32, n_clusters=20, seed=41):
+    """Realistic embedding geometry: tight clusters (true neighbors have
+    high cosine) — isotropic gaussian vectors have no meaningful neighbors
+    and any LSH legitimately fails there."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rng.integers(0, n_clusters, n)
+    m = centers[idx] + 0.05 * rng.standard_normal((n, dim))
+    m = m.astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, m))})
+    return spark.createDataFrame(pdf), m
+
+
 def test_lsh_recall_reasonable(spark):
-    df, m = _vecs(spark, 400)
+    df, m = _clustered_vecs(spark, 400)
     k = 3
     exact = similarity.cosine_topk_brute(df, df, k).toPandas()
     approx = similarity.cosine_topk_lsh(df, df, k, dim=32, n_planes=10).toPandas()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, recall
+    assert recall >= 0.6, recall
