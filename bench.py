@@ -32,7 +32,12 @@ from geoengine.text import exact_dedup, minhash_near_dup_pairs  # noqa: E402
 from geoengine.topk import top_n_per_origin  # noqa: E402
 
 JOIN_RADIUS_KM = 100.0
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "60000"))
+# heavy mode (scaling evidence): big enough that per-query work dominates
+# fixed job overhead — lineitem-derived 600k-origin join, 240k-image phash
+HEAVY = os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "") == "1"
+N_IMAGES = int(
+    os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "240000" if HEAVY else "60000")
+)
 
 
 def force(df) -> None:
@@ -43,6 +48,14 @@ def orders_points(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return datasets.with_point(df, "o_orderkey", 41, 97).select(
         F.col("o_orderkey").alias("id"), "latitude", "longitude"
+    )
+
+
+def lineitem_points(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = df.withColumn("lkey", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return datasets.with_point(df, "lkey", 41, 97).select(
+        F.col("lkey").alias("id"), "latitude", "longitude"
     )
 
 
@@ -63,7 +76,9 @@ def main() -> None:
         if count_df_fn is not None:
             rows[name] = count_df_fn()
 
-    origins = orders_points(spark, sf_dir)
+    origins = (
+        lineitem_points(spark, sf_dir) if HEAVY else orders_points(spark, sf_dir)
+    )
     customers = datasets.customer_points(spark, sf_dir)
     suppliers = datasets.supplier_points(spark, sf_dir)
     events = datasets.event_points(spark, sf_dir)
@@ -79,21 +94,33 @@ def main() -> None:
     run("radius_topk", lambda: top_n_per_origin(pairs(), 10))
 
     # 3) kNN rings (scale path)
+    knn_origins = events if HEAVY else customers
+    knn_neighbors = customers if HEAVY else suppliers
     run(
         "knn_rings",
-        lambda: knn_join_rings(customers, suppliers, 5),
-        lambda: 5 * customers.count(),
+        lambda: knn_join_rings(knn_origins, knn_neighbors, 5),
+        lambda: 5 * knn_origins.count(),
     )
 
-    # 4) tile assignment + rollup over events
+    # 4) tile assignment + rollup (heavy mode: 50M synthetic points so the
+    # codegen'd tile math, not job overhead, is what's measured)
+    if HEAVY:
+        n_tile_rows = 50_000_000
+        tile_src = datasets.with_point(
+            spark.range(0, n_tile_rows, 1, cpus * 4), "id", 37, 91
+        )
+    else:
+        n_tile_rows = None
+        tile_src = events
+
     def tiles():
-        return events.select(
+        return tile_src.select(
             "id",
             exprs.tile_x(F.col("longitude"), 12).alias("tile_x"),
             exprs.tile_y(F.col("latitude"), 12).alias("tile_y"),
         )
 
-    run("tile_assign", tiles, lambda: events.count())
+    run("tile_assign", tiles, lambda: n_tile_rows or events.count())
     run(
         "tile_rollup",
         lambda: tiles().groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")),

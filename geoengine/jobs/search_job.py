@@ -37,11 +37,19 @@ def main() -> None:
     p.add_argument("--checkpoint-buckets", type=int, default=16)
     p.add_argument("--tiles-zoom", type=int, default=0)
     p.add_argument("--parity-topn", action="store_true")
+    p.add_argument(
+        "--parallelism", type=int, default=0,
+        help="explicit DOP knob (reference repartition(n), README.md:51); "
+             "0 = let AQE decide",
+    )
     args = p.parse_args()
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("geoengine-search").getOrCreate()
     origins = spark.read.parquet(args.origins)
     neighbors = spark.read.parquet(args.neighbors)
+    if args.parallelism:
+        origins = origins.repartition(args.parallelism)
 
     def build(bucket: int):
         o = origins.where(
@@ -73,7 +81,8 @@ def main() -> None:
         )
         tiles.write.mode("overwrite").parquet(args.out + "_tiles")
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

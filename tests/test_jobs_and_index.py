@@ -1,0 +1,109 @@
+"""spark-submit job end-to-end (resumable) + clustered index layout +
+payload passthrough invariant (input_hint: caption byte-equality and
+decoded-pixel equality per joined row)."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geoengine import fixtures, images, snapshots
+from geoengine.index import clustered_index_write
+from geoengine.join import radius_join_pairs
+
+
+def test_search_job_main(spark, tmp_path, monkeypatch):
+    rng = np.random.default_rng(44)
+    pts = pd.DataFrame(
+        {
+            "id": [f"p{i}" for i in range(300)],
+            "latitude": rng.uniform(-60, 60, 300),
+            "longitude": rng.uniform(-170, 170, 300),
+        }
+    )
+    o_path, n_path = str(tmp_path / "o"), str(tmp_path / "n")
+    spark.createDataFrame(pts[:100]).write.parquet(o_path)
+    spark.createDataFrame(pts[100:]).write.parquet(n_path)
+
+    from geoengine.jobs import search_job
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "search_job",
+            "--origins", o_path,
+            "--neighbors", n_path,
+            "--radius", "300",
+            "--unit", "km",
+            "--max-results", "5",
+            "--out", out,
+            "--checkpoint-buckets", "3",
+            "--tiles-zoom", "6",
+        ],
+    )
+    search_job.main()
+    res = snapshots.read_snapshot(spark, out)
+    assert res.count() > 0
+    assert set(res.columns) == {
+        "origin", "neighbors", "searchSpace", "searchTimerSeconds",
+    }
+    tiles = spark.read.parquet(out + "_tiles")
+    assert tiles.count() == 200
+    m = snapshots.read_manifest(out)
+    assert len(m["buckets"]) == 3
+    assert all(v["lineage"]["radius"] == 300 for v in m["buckets"].values())
+
+
+def test_clustered_index_write_layout(spark, tmp_path):
+    rng = np.random.default_rng(45)
+    pts = pd.DataFrame(
+        {
+            "id": [f"p{i}" for i in range(5000)],
+            "latitude": rng.uniform(-80, 80, 5000),
+            "longitude": rng.uniform(-179, 179, 5000),
+        }
+    )
+    path = str(tmp_path / "idx")
+    clustered_index_write(spark.createDataFrame(pts), path, half_bits=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    # within every file, cell values are sorted (Z-order-equivalent layout
+    # -> parquet min/max row-group skipping works)
+    files = back.select("cell", F.input_file_name().alias("f")).toPandas()
+    for _, grp in files.groupby("f"):
+        v = grp["cell"].to_numpy()
+        assert (np.diff(v) >= 0).all()
+
+
+def test_payload_passthrough_through_radius_join(spark):
+    """input_hint invariant: after a spatial join over the image table,
+    captions are byte-equal and decoded pixels exact per joined row."""
+    imgs = fixtures.images_table(spark, 300, partitions=4)
+    pts = imgs.select(
+        F.col("image_id").alias("id"), "latitude", "longitude",
+        "caption", "bytes", "w", "h", "fmt",
+    )
+    pairs = radius_join_pairs(pts, pts, 500.0, "km").where(
+        F.col("origin_id") != F.col("neighbor_id")
+    )
+    got = pairs.select(
+        "neighbor_id", "neighbor_caption", "neighbor_bytes",
+        "neighbor_w", "neighbor_h", "neighbor_fmt",
+    ).toPandas()
+    assert len(got) > 0
+    ref = fixtures.images_pandas(300).set_index("image_id")
+    for r in got.itertuples():
+        assert r.neighbor_caption == ref.loc[r.neighbor_id, "caption"]
+        px_joined = images.decode_image(
+            r.neighbor_bytes, r.neighbor_w, r.neighbor_h, r.neighbor_fmt
+        )
+        px_ref = images.decode_image(
+            ref.loc[r.neighbor_id, "bytes"],
+            ref.loc[r.neighbor_id, "w"],
+            ref.loc[r.neighbor_id, "h"],
+            ref.loc[r.neighbor_id, "fmt"],
+        )
+        assert np.array_equal(px_joined, px_ref)

@@ -19,13 +19,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-HEADLINE = ["radius_join", "tile_assign", "images_phash", "knn_rings", "radius_topk"]
+HEADLINE = ["radius_join", "tile_assign", "tile_rollup", "images_phash", "knn_rings"]
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_HEAVY"] = "1"  # workload >> fixed job overhead
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
