@@ -20,26 +20,24 @@ from pyspark.sql.functions import pandas_udf
 MERSENNE = (1 << 61) - 1
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling polynomial hash of char k-shingles -> uint64 array."""
+    """Polynomial hash (mod 2^64) of char k-shingles -> unique uint64 array.
+    Vectorized: sliding windows x precomputed base powers, wrap-around
+    uint64 arithmetic (identical values to a rolling-hash formulation)."""
     data = text.encode("utf-8", "ignore")
-    n = len(data)
-    if n < k:
-        data = data + b" " * (k - n)
-        n = len(data)
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    base = np.uint64(1099511628211)
-    pw = np.uint64(1)
-    for _ in range(k - 1):
-        pw = pw * base
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    acc = np.uint64(0)
-    for i in range(k):
-        acc = acc * base + arr[i]
-    h[0] = acc
-    for i in range(1, n - k + 1):
-        acc = (acc - arr[i - 1] * pw) * base + arr[i + k - 1]
-        h[i] = acc
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    pows = np.empty(k, dtype=np.uint64)
+    pows[-1] = 1
+    for j in range(k - 2, -1, -1):
+        pows[j] = pows[j + 1] * _SHINGLE_BASE
+    with np.errstate(over="ignore"):
+        h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 
 
