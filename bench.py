@@ -51,8 +51,12 @@ def orders_points(spark, sf_dir):
     )
 
 
-def lineitem_points(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+def lineitem_points(spark, sf_dir, parallelism: int):
+    # the sf0.1 parquet is a single row-group file -> one scan task; the
+    # explicit repartition (reference R8 DOP knob, README.md:51) spreads the
+    # explode+join across the cluster. At real scale the source is
+    # many-filed/bucketed and this is a no-op.
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(parallelism)
     df = df.withColumn("lkey", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
     return datasets.with_point(df, "lkey", 41, 97).select(
         F.col("lkey").alias("id"), "latitude", "longitude"
@@ -80,7 +84,9 @@ def main() -> None:
             rows[name] = count_df_fn()
 
     origins = (
-        lineitem_points(spark, sf_dir) if HEAVY else orders_points(spark, sf_dir)
+        lineitem_points(spark, sf_dir, cpus * 2)
+        if HEAVY
+        else orders_points(spark, sf_dir)
     )
     customers = datasets.customer_points(spark, sf_dir)
     suppliers = datasets.supplier_points(spark, sf_dir)
@@ -131,9 +137,11 @@ def main() -> None:
     )
 
     # 5) image payload: deterministic table -> phash kernel (Arrow batches)
+    # fixed partition count across parallelism levels: identical per-batch
+    # work, so the scaling measurement isolates parallelism
     run(
         "images_phash",
-        lambda: with_computed_phash(images_table(spark, N_IMAGES, partitions=cpus * 4)),
+        lambda: with_computed_phash(images_table(spark, N_IMAGES, partitions=64)),
         lambda: N_IMAGES,
     )
 
