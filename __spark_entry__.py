@@ -441,6 +441,15 @@ def q_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18: recordCount surface (DataStore.scala:11) over both point tables."""
+    c = datasets.customer_points(spark, sf_dir).count()
+    s = datasets.supplier_points(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(c, s)], "n_origins long, n_neighbors long"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "radius_counts": q_radius_counts,
@@ -472,6 +481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs_miles": q_radius_pairs_miles,
     "explode_results": q_explode_results,
     "topk_parity": q_topk_parity,
+    "record_count": q_record_count,
 }
 
 
@@ -633,6 +643,10 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY d DESC, neighbor_id) AS rn
               FROM dd
             ) WHERE rn <= {TOPK_N}
+        """,
+        "record_count": """
+            SELECT (SELECT count(*) FROM customer) AS n_origins,
+                   (SELECT count(*) FROM supplier) AS n_neighbors
         """,
         "radius_pairs": _SQL_PAIRS,
         "radius_counts": f"""

@@ -31,12 +31,13 @@ from geoengine.session import get_spark  # noqa: E402
 from geoengine.text import exact_dedup, minhash_near_dup_pairs  # noqa: E402
 from geoengine.topk import top_n_per_origin  # noqa: E402
 
-JOIN_RADIUS_KM = 100.0
 # heavy mode (scaling evidence): big enough that per-query work dominates
-# fixed job overhead — lineitem-derived 600k-origin join, 240k-image phash
+# fixed job overhead — lineitem-derived 600k-origin join at 200 km,
+# 360k-image phash, 100M-point tiling
 HEAVY = os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "") == "1"
+JOIN_RADIUS_KM = 200.0 if HEAVY else 100.0
 N_IMAGES = int(
-    os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "240000" if HEAVY else "60000")
+    os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "360000" if HEAVY else "60000")
 )
 
 
@@ -115,7 +116,7 @@ def main() -> None:
     # 4) tile assignment + rollup (heavy mode: 50M synthetic points so the
     # codegen'd tile math, not job overhead, is what's measured)
     if HEAVY:
-        n_tile_rows = 50_000_000
+        n_tile_rows = 100_000_000
         tile_src = datasets.with_point(
             spark.range(0, n_tile_rows, 1, cpus * 4), "id", 37, 91
         )
