@@ -74,13 +74,18 @@ def main() -> None:
     secs: dict[str, float] = {}
 
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
 
     def run(name: str, df_fn, count_df_fn=None):
         if warm:  # JIT/codegen/python-worker warmup: time the steady state
             force(df_fn())
-        t0 = time.time()
-        force(df_fn())
-        secs[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            force(df_fn())
+            times.append(time.time() - t0)
+        times.sort()
+        secs[name] = round(times[len(times) // 2], 3)  # median
         if count_df_fn is not None:
             rows[name] = count_df_fn()
 

@@ -33,6 +33,8 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_HEAVY"] = "1"  # workload >> fixed job overhead
+    env["SPARK_GRAFT_BENCH_REPS"] = "3"  # median-of-3 (noisy shared VM)
+    env.setdefault("SPARK_DRIVER_MEM", "16g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
