@@ -32,11 +32,11 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         data = data + b" " * (k - len(data))
     arr = np.frombuffer(data, dtype=np.uint8)
     win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    pows = np.empty(k, dtype=np.uint64)
-    pows[-1] = 1
-    for j in range(k - 2, -1, -1):
-        pows[j] = pows[j + 1] * _SHINGLE_BASE
     with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=np.uint64)
+        pows[-1] = 1
+        for j in range(k - 2, -1, -1):
+            pows[j] = pows[j + 1] * _SHINGLE_BASE
         h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 
@@ -131,7 +131,8 @@ def minhash_near_dup_pairs(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b AS band, "
-                f"xxhash64(to_json(slice(sig, b * {rows} + 1, {rows}))) AS bucket))"
+                f"aggregate(slice(sig, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
+                f"(acc, x) -> acc * 1000003 + x) AS bucket))"
             )
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
