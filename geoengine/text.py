@@ -132,7 +132,7 @@ def minhash_near_dup_pairs(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b AS band, "
                 f"aggregate(slice(sig, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
-                f"(acc, x) -> acc * 1000003 + x) AS bucket))"
+                f"(acc, x) -> xxhash64(acc, x)) AS bucket))"  # ANSI-safe fold
             )
         ).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
