@@ -110,6 +110,37 @@ def test_reference_disabled_e2e_scenario(spark):
     assert abs(dm["a"] - dk["a"] * geodesy.KM_TO_MI) < 1e-9
 
 
+def test_polar_origins(spark):
+    # near-pole box spans the full longitude circle; grid must cap at one
+    # revolution and still find everything
+    o = pd.DataFrame(
+        {"id": ["np", "sp"], "latitude": [89.5, -89.5], "longitude": [10.0, -170.0]}
+    )
+    nb = pd.DataFrame(
+        {
+            "id": [f"n{i}" for i in range(36)] + ["far"],
+            "latitude": [89.6] * 36 + [80.0],
+            "longitude": list(range(-180, 180, 10)) + [0.0],
+        }
+    )
+    got = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 200.0, "km"
+    ).toPandas()
+    want = _brute_pairs(o, nb, 200.0)
+    assert set(zip(got["origin_id"], got["neighbor_id"])) == want
+    assert len(want) >= 30  # all ring points near the north pole
+
+
+def test_tiny_radius(spark):
+    o = _random_points(51, 100)
+    nb = o.copy()  # identical points -> each finds at least itself
+    got = radius_join_pairs(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 0.001, "km"
+    ).toPandas()
+    self_pairs = set(zip(o["id"], o["id"]))
+    assert self_pairs <= set(zip(got["origin_id"], got["neighbor_id"]))
+
+
 def test_topk_and_nested_result_shape(spark):
     o = _random_points(7, 50)
     nb = _random_points(8, 500)
