@@ -441,6 +441,28 @@ def q_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (word + punctuation tokens)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(r"regexp_count(text, '\\w+|[^\\w\\s]')").cast("long").alias("n_tok"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-payload frame sampling plumbing (rows-only)."""
+    from geoengine.fixtures import images_table
+    from geoengine.images import frame_sample
+
+    imgs = images_table(spark, 200, partitions=4)
+    out = frame_sample(imgs, every_k=1)  # single-frame images: n_frames==1
+    return out.select(
+        "image_id", "n_frames",
+        (F.length("bytes_sampled") == F.length("bytes")).alias("roundtrip_ok"),
+    )
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -482,6 +504,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_results": q_explode_results,
     "topk_parity": q_topk_parity,
     "record_count": q_record_count,
+    "token_regex": q_token_regex,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -643,6 +667,12 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY d DESC, neighbor_id) AS rn
               FROM dd
             ) WHERE rn <= {TOPK_N}
+        """,
+        "token_regex": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_tok
+            FROM documents
         """,
         "record_count": """
             SELECT (SELECT count(*) FROM customer) AS n_origins,

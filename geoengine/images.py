@@ -176,6 +176,35 @@ def reencode_q6(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=schema)
 
 
+def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video-payload shape: treat bytes as n concatenated HxWx3 frames
+    (n = len(bytes)/(h*w*3)), keep every k-th frame. Real Spark plumbing
+    (schema/batching); the 'codec' is the raw frame stack — container
+    formats (mp4 etc.) would slot in behind decode_image's stub."""
+    schema = _extended(
+        df,
+        StructField("n_frames", LongType()),
+        StructField("bytes_sampled", BinaryType()),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ns, outs = [], []
+            for buf, w, h in zip(b["bytes"], b["w"], b["h"]):
+                fsz = int(w) * int(h) * 3
+                n = max(len(buf) // fsz, 0)
+                frames = np.frombuffer(buf[: n * fsz], dtype=np.uint8).reshape(
+                    n, int(h), int(w), 3
+                )
+                ns.append(n)
+                outs.append(frames[::every_k].tobytes())
+            b["n_frames"] = pd.Series(ns, index=b.index, dtype="int64")
+            b["bytes_sampled"] = outs
+            yield b
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Deterministic area resize of the raw payload (real, no PIL)."""
     schema = _extended(df, StructField("bytes_resized", BinaryType()))
