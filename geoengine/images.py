@@ -205,6 +205,36 @@ def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
     return df.mapInPandas(gen, schema=schema)
 
 
+def audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio-payload shape: treat bytes as mono int16 PCM; extract RMS
+    energy, peak, duration (vectorized numpy per Arrow batch). Compressed
+    codecs (mp3/flac) would slot behind decode stubs like image formats."""
+    schema = _extended(
+        df,
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            dur, rms, peak = [], [], []
+            for buf in b["bytes"]:
+                pcm = np.frombuffer(buf[: len(buf) - len(buf) % 2], dtype=np.int16)
+                n = len(pcm)
+                dur.append(n / float(sample_rate))
+                rms.append(
+                    float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if n else 0.0
+                )
+                peak.append(int(np.abs(pcm).max()) if n else 0)
+            b["duration_s"] = dur
+            b["rms"] = rms
+            b["peak"] = pd.Series(peak, index=b.index, dtype="int64")
+            yield b
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Deterministic area resize of the raw payload (real, no PIL)."""
     schema = _extended(df, StructField("bytes_resized", BinaryType()))

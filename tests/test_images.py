@@ -65,6 +65,29 @@ def test_reencode_q6_psnr_column(spark):
     assert (out["psnr_db"] >= 40.0).all()
 
 
+def test_frame_sample_roundtrip(spark):
+    sdf = fixtures.images_table(spark, 12, partitions=2)
+    out = images.frame_sample(sdf, every_k=1).select(
+        "n_frames", "bytes", "bytes_sampled"
+    ).toPandas()
+    assert (out["n_frames"] == 1).all()  # single-frame images
+    assert all(a == b for a, b in zip(out["bytes"], out["bytes_sampled"]))
+
+
+def test_audio_features_kernel(spark):
+    import numpy as np
+    import pandas as pd
+
+    wave = (np.sin(np.linspace(0, 100, 16000)) * 10000).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ["a"], "bytes": [wave.tobytes()]}),
+        schema="id string, bytes binary",
+    )
+    r = images.audio_features(df).collect()[0]
+    assert abs(r["duration_s"] - 1.0) < 1e-9
+    assert 6000 < r["rms"] < 8000 and 9900 <= r["peak"] <= 10000
+
+
 def test_resize_images_shape(spark):
     sdf = fixtures.images_table(spark, 12, partitions=2)
     out = images.resize_images(sdf, 8, 8).select("bytes_resized").toPandas()
