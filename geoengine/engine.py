@@ -1,0 +1,65 @@
+"""One-call search API — the reference's ``SparkServerlessDS.searchMiles``
+UX (``SparkDS.scala:34-45``) re-expressed as a single DataFrame pipeline.
+
+A reference user migrates like this:
+
+  reference:
+    val ds = SparkDS.fromDF(spark.table(neighborTable))     // index build
+    val out = ds.search(ds.toInqueryRDD(spark.table(originTable),
+                        radius, maxResults).repartition(n))  // per-row I/O
+  engine:
+    out = search_miles(spark.table(originTable), spark.table(neighborTable),
+                       radius, max_results)                  # one plan
+
+Same inputs (id, latitude, longitude), same output shape (origin struct,
+neighbors array ordered by distance, searchSpace string), same semantics
+(distance reported in the inquiry unit, <=-radius boundary, invalid
+coordinates dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .join import radius_join_pairs
+from .results import assemble_search_results
+from .sources import coerce_points
+from .topk import top_n_per_origin
+
+
+def search(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius: float,
+    unit: str = "km",
+    max_results: int = 10,
+    parity_topn: bool = False,
+    half_bits: int | None = None,
+    strategy: str = "auto",
+    include_search_space: bool = True,
+) -> DataFrame:
+    """Radius-neighborhood search -> nested SearchResult rows."""
+    o = coerce_points(origins)
+    nb = coerce_points(neighbors)
+    pairs = radius_join_pairs(
+        o, nb, radius, unit, half_bits=half_bits, strategy=strategy
+    )
+    top = top_n_per_origin(pairs, max_results, parity_topn=parity_topn)
+    return assemble_search_results(
+        top, unit=unit, radius=radius, include_search_space=include_search_space
+    )
+
+
+def search_miles(
+    origins: DataFrame, neighbors: DataFrame, radius: float,
+    max_results: int = 10, **kw,
+) -> DataFrame:
+    """Parity name for the reference's searchMiles (SparkDS.scala:34-45)."""
+    return search(origins, neighbors, radius, "miles", max_results, **kw)
+
+
+def search_km(
+    origins: DataFrame, neighbors: DataFrame, radius: float,
+    max_results: int = 10, **kw,
+) -> DataFrame:
+    return search(origins, neighbors, radius, "km", max_results, **kw)
