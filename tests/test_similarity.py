@@ -42,6 +42,19 @@ def _clustered_vecs(spark, n, dim=32, n_clusters=20, seed=41):
     return spark.createDataFrame(pdf), m
 
 
+def test_ivf_recall(spark):
+    df, m = _clustered_vecs(spark, 400, n_clusters=10, seed=43)
+    k = 3
+    exact = similarity.cosine_topk_brute(df, df, k).toPandas()
+    approx = similarity.cosine_topk_ivf(
+        df, df, k, n_centroids=24, n_probe=4
+    ).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+
+
 def test_lsh_recall_reasonable(spark):
     df, m = _clustered_vecs(spark, 400)
     k = 3
