@@ -337,6 +337,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN scale path (approximate; rows-only)."""
+    from geoengine.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 29 == 0)
+    out = cosine_topk_ivf(qs, emb, 3, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("sim_rank").cast("long").alias("sim_rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only: signature hashing is not
     SQL-expressible)."""
@@ -494,6 +508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "fingerprint": q_fingerprint,

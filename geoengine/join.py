@@ -267,13 +267,10 @@ def radius_join_pairs(
 
     if strategy == "broadcast":
         build = F.broadcast(build)
-    elif strategy == "auto":
-        # cheap static heuristic; AQE re-plans at runtime anyway
-        try:
-            if build.rdd.getNumPartitions() <= 8:
-                build = F.broadcast(build)
-        except Exception:
-            pass
+    # strategy == "auto": no hint — Catalyst's autoBroadcastJoinThreshold
+    # (file-size stats) picks broadcast for dimension-sized neighbor tables
+    # and AQE re-plans to broadcast at runtime when the post-filter build
+    # side turns out small; 'shuffle' leaves the shuffle-hash path.
 
     d_km = exprs.dist_km(
         F.col(origin_prefix + "latitude"),
