@@ -49,13 +49,21 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
 
     @pandas_udf("array<long>")
     def _sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sh = _shingle_hashes(t or "", shingle_k) & np.uint64((1 << 32) - 1)
-            # (a*x + b) mod p, min over shingles, per hash function
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        # one vectorized pass per Arrow batch: concatenate every document's
+        # shingle set, apply all hash functions to the flat array, then
+        # segment-min back per document with minimum.reduceat
+        shingles = [
+            _shingle_hashes(t or "", shingle_k) & np.uint64((1 << 32) - 1)
+            for t in text
+        ]
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        flat = np.concatenate(shingles) if shingles else np.empty(0, np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sigs = np.empty((len(text), num_hashes), dtype=np.int64)
+        for j in range(num_hashes):  # num_hashes rows, each fully vectorized
+            vals = (a[j] * flat + b[j]) % np.uint64(MERSENNE)
+            sigs[:, j] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        return pd.Series(list(sigs))
 
     return _sig
 
@@ -120,9 +128,12 @@ def minhash_near_dup_pairs(
     the band join shuffles on a 64-bit bucket hash (scale path)."""
     rows = num_hashes // bands
     sig = make_minhash_udf(num_hashes, shingle_k)
-    with_sig = docs.select(
-        F.col(id_col).alias("doc"), F.col(text_col)
-    ).withColumn("sig", sig(F.col(text_col))).drop(text_col)
+    with_sig = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+        .withColumn("sig", sig(F.col(text_col)))
+        .drop(text_col)
+        .cache()  # self-joined below: compute the signature UDF once
+    )
 
     banded = with_sig.select(
         "doc",
