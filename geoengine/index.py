@@ -122,6 +122,33 @@ def radius_join_pairs_salted(
     )
 
 
+def nosql_index_view(
+    neighbors: DataFrame, bits: int = 40
+) -> DataFrame:
+    """Parity view of the reference's external-store document model
+    (SparkDS.scala:19-24 / CosmosDataStore.scala:21-26): one row per exact
+    40-bit cell, ``(key: binary-geohash string, value: array<struct<id,
+    latitude, longitude>>)``. The engine never materializes this for the
+    join (the cell is just a shuffle key); this exists for store-level
+    parity checks."""
+    from . import udfs
+
+    cell = udfs.make_cell_encode_udf(bits)
+    render = udfs.make_cell_string_udf(bits)
+    keyed = validate_points(neighbors).withColumn(
+        "_cell", cell(F.col("latitude"), F.col("longitude"))
+    )
+    return (
+        keyed.groupBy("_cell")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("id", "latitude", "longitude"))
+            ).alias("value")
+        )
+        .select(render(F.col("_cell")).alias("key"), "value")
+    )
+
+
 def clustered_index_write(
     neighbors: DataFrame, path: str, half_bits: int = 20
 ) -> None:

@@ -78,6 +78,28 @@ def test_clustered_index_write_layout(spark, tmp_path):
         assert (np.diff(v) >= 0).all()
 
 
+def test_nosql_index_view_parity(spark):
+    # reference document model: key = exact 40-bit binary-geohash string,
+    # value = bucket of points; golden key from GeoSearch.scala:72
+    from geoengine.index import nosql_index_view
+
+    pts = pd.DataFrame(
+        {
+            "id": ["g", "g2", "other"],
+            "latitude": [34.932603, 34.932604, -12.0],
+            "longitude": [-117.907324, -117.907323, 77.0],
+        }
+    )
+    view = nosql_index_view(spark.createDataFrame(pts)).toPandas()
+    golden = "0100110110100001010011000111111011001001"
+    row = view[view["key"] == golden]
+    assert len(row) == 1
+    ids = sorted(v["id"] for v in row.iloc[0]["value"])
+    assert ids == ["g", "g2"]  # both points share the exact 40-bit cell
+    assert len(view) == 2
+    assert all(len(k) == 40 and set(k) <= {"0", "1"} for k in view["key"])
+
+
 def test_payload_passthrough_through_radius_join(spark):
     """input_hint invariant: after a spatial join over the image table,
     captions are byte-equal and decoded pixels exact per joined row."""
