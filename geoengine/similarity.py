@@ -11,6 +11,8 @@ the hyperplane signature UDF (vectorized numpy matmul per Arrow batch).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -63,6 +65,7 @@ def cosine_topk_brute(
     )
 
 
+@lru_cache(maxsize=None)
 def make_hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 11):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))

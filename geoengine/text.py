@@ -11,6 +11,8 @@ is the scale path: candidate pairs come from an equi-join on (band, bucket)
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -41,6 +43,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+@lru_cache(maxsize=None)
 def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
     """pandas_udf text -> array<long> MinHash signature."""
     rng = np.random.default_rng(seed)
@@ -68,6 +71,7 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
     return _sig
 
 
+@lru_cache(maxsize=None)
 def make_simhash_udf(shingle_k: int = 5):
     """pandas_udf text -> int64 SimHash (sign of per-bit sums)."""
 
@@ -88,6 +92,7 @@ def make_simhash_udf(shingle_k: int = 5):
     return _sim
 
 
+@lru_cache(maxsize=None)
 def make_fingerprint_udf():
     """Rolling FNV-1a document fingerprint -> int64 (cheap content id)."""
 
