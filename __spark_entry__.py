@@ -160,15 +160,18 @@ def q_distance_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4-G6: radius bounding-box corners (reference bbox semantics)."""
+    """G4-G6: radius bounding-box corners (reference corner semantics:
+    lon offsets at the SHIFTED latitudes, GeoSearch.scala:136-137)."""
     pts = datasets.supplier_points(spark, sf_dir)
     la, lo = F.col("latitude"), F.col("longitude")
+    lat_min = exprs.lat_plus_km(la, -100.0)
+    lat_max = exprs.lat_plus_km(la, 100.0)
     return pts.select(
         "id",
-        F.round(exprs.lat_plus_km(la, -100.0), 9).alias("lat_min"),
-        F.round(exprs.lat_plus_km(la, 100.0), 9).alias("lat_max"),
-        F.round(exprs.lon_plus_km(la, lo, -100.0), 9).alias("lon_min"),
-        F.round(exprs.lon_plus_km(la, lo, 100.0), 9).alias("lon_max"),
+        F.round(lat_min, 9).alias("lat_min"),
+        F.round(lat_max, 9).alias("lat_max"),
+        F.round(exprs.lon_plus_km(lat_min, lo, -100.0), 9).alias("lon_min"),
+        F.round(exprs.lon_plus_km(lat_max, lo, 100.0), 9).alias("lon_max"),
     )
 
 
@@ -751,8 +754,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id,
                    round({exprs.sql_lat_plus_km('lat', '-100.0e0')}, 9) AS lat_min,
                    round({exprs.sql_lat_plus_km('lat', '100.0e0')}, 9) AS lat_max,
-                   round({exprs.sql_lon_plus_km('lat', 'lon', '-100.0e0')}, 9) AS lon_min,
-                   round({exprs.sql_lon_plus_km('lat', 'lon', '100.0e0')}, 9) AS lon_max
+                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '-100.0e0'), 'lon', '-100.0e0')}, 9) AS lon_min,
+                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '100.0e0'), 'lon', '100.0e0')}, 9) AS lon_max
             FROM pts
         """,
         "search_topk": f"""

@@ -78,10 +78,18 @@ def add_distance_to_longitude(dist_km, lat, lon):
 
 
 def bounding_box(lat, lon, size_km):
-    """(lat_min, lat_max, lon_min, lon_max) — ``GeoSearch.scala:134-139``."""
+    """(lat_min, lat_max, lon_min, lon_max) — ``GeoSearch.scala:134-139``.
+
+    Corner semantics, parity-exact: the reference applies
+    addDistanceToLongitude to the already latitude-shifted point, so the
+    SW lon offset is taken at lat_min and the NE lon offset at lat_max
+    (``GeoSearch.scala:136-137``) — NOT at the center latitude.
+    """
+    lat_min = add_distance_to_latitude(-size_km, lat)
+    lat_max = add_distance_to_latitude(size_km, lat)
     return (
-        add_distance_to_latitude(-size_km, lat),
-        add_distance_to_latitude(size_km, lat),
-        add_distance_to_longitude(-size_km, lat, lon),
-        add_distance_to_longitude(size_km, lat, lon),
+        lat_min,
+        lat_max,
+        add_distance_to_longitude(-size_km, lat_min, lon),
+        add_distance_to_longitude(size_km, lat_max, lon),
     )

@@ -12,10 +12,11 @@ cell-keyed equi-join expressed entirely as a DataFrame plan:
 
 Candidate completeness: the covering grid of each origin's radius circle is
 computed with the longitude half-width taken at the WORST-CASE latitude of
-the box (not the center latitude like the reference's searchSpace bbox,
-GeoSearch.scala:134-151, which slightly under-covers at high latitude), and
-widened by one guard cell per axis — so grid pruning never drops a true
-within-radius pair. Longitude wraps modulo the grid (antimeridian-safe,
+the box (the reference's searchSpace bbox takes each corner's lon offset at
+that corner's shifted latitude, GeoSearch.scala:136-137, which can still
+under-cover on the equator-facing side at high latitude), and is widened by
+one guard cell per axis — so grid pruning never drops a true within-radius
+pair. Longitude wraps modulo the grid (antimeridian-safe,
 where the reference degrades to a full scan via an empty LIKE prefix).
 
 Scale posture (100 TB / 1000 executors):
@@ -151,11 +152,13 @@ def radius_join_pairs_prefix(
     typically 3-6): for each length L, join on
     ``neighbor_cell >> (bits - L) == origin_prefix``.
 
-    Reproduces the reference's retrieval exactly, INCLUDING its bbox
-    under-coverage at high latitude (lon offset uses the center latitude,
-    GeoSearch.scala:134-151) and its empty-prefix full-scan degradation
-    (LIKE '%'). The engine-default radius_join_pairs() is the sound one;
-    this mode exists for output parity claims.
+    Reproduces the reference's retrieval exactly, INCLUDING its corner
+    lon-offset semantics (addDistanceToLongitude applied to the already
+    latitude-shifted point, GeoSearch.scala:136-137 — SW offset at lat_min,
+    NE at lat_max), its residual under-coverage at high latitude, and its
+    empty-prefix full-scan degradation (LIKE '%'). The engine-default
+    radius_join_pairs() is the coverage-sound one; this mode exists for
+    output parity claims.
     """
     from . import udfs
 

@@ -52,10 +52,18 @@ def _pip_udf():
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
         # group identical rings inside the batch so the vectorized kernel
-        # runs once per polygon, not per row
-        keys = ring_lat.map(lambda a: (len(a), float(a[0]), float(a[-1])))
-        for _, idx in pd.Series(range(len(lat))).groupby(keys):
-            i = idx.to_numpy()
+        # runs once per polygon, not per row; the key is the FULL ring
+        # content (both axes) — partial keys (len, first, last) collide for
+        # distinct polygons, e.g. lat-aligned rectangles at different lons
+        groups: dict[bytes, list[int]] = {}
+        for pos in range(len(lat)):
+            key = (
+                np.asarray(ring_lat.iloc[pos], dtype=np.float64).tobytes()
+                + np.asarray(ring_lon.iloc[pos], dtype=np.float64).tobytes()
+            )
+            groups.setdefault(key, []).append(pos)
+        for poss in groups.values():
+            i = np.asarray(poss)
             rl = np.asarray(ring_lat.iloc[i[0]], dtype=np.float64)
             rn = np.asarray(ring_lon.iloc[i[0]], dtype=np.float64)
             out[i] = point_in_ring(la[i], lo[i], rl, rn)

@@ -102,8 +102,11 @@ def _search_space_frame(lat, lon, radius_km, bits: int) -> pd.DataFrame:
     r = radius_km.to_numpy(np.float64)
     lat_min = geodesy.add_distance_to_latitude(-r, la)
     lat_max = geodesy.add_distance_to_latitude(r, la)
-    lon_min = geodesy.add_distance_to_longitude(-r, la, lo)
-    lon_max = geodesy.add_distance_to_longitude(r, la, lo)
+    # parity: lon offsets at the SHIFTED latitudes (GeoSearch.scala:136-137
+    # applies addDistanceToLongitude to the latitude-shifted point) — the SW
+    # lon offset is taken at lat_min, the NE offset at lat_max
+    lon_min = geodesy.add_distance_to_longitude(-r, lat_min, lo)
+    lon_max = geodesy.add_distance_to_longitude(r, lat_max, lo)
     c_sw = cells.encode(lat_min, lon_min, bits)
     c_se = cells.encode(lat_min, lon_max, bits)
     c_nw = cells.encode(lat_max, lon_min, bits)

@@ -24,6 +24,32 @@ def test_point_in_ring_concave():
     assert isinstance(bool(inside_notch[0]), bool)  # deterministic
 
 
+def test_colliding_partial_keys_distinct_polygons(spark):
+    # regression: two lat-aligned rectangles share (vertex count, first lat,
+    # last lat) but differ in longitude — a partial grouping key inside the
+    # UDF would evaluate one against the other's ring
+    rect_a = [(40.0, 0.0), (40.0, 10.0), (50.0, 10.0), (50.0, 0.0)]
+    rect_b = [(40.0, 100.0), (40.0, 110.0), (50.0, 110.0), (50.0, 100.0)]
+    polys = spark.createDataFrame(
+        [
+            ("A", [{"lat": a, "lon": b} for a, b in rect_a]),
+            ("B", [{"lat": a, "lon": b} for a, b in rect_b]),
+        ],
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["inA", "inB", "outBoth"],
+                "latitude": [45.0, 45.0, 45.0],
+                "longitude": [5.0, 105.0, 55.0],
+            }
+        )
+    ).coalesce(1)  # one partition -> one Arrow batch -> keys must not collide
+    got = points_in_polygons(pts, polys).toPandas()
+    assert set(zip(got["point_id"], got["poly_id"])) == {("inA", "A"), ("inB", "B")}
+
+
 def test_points_in_polygons_matches_bruteforce(spark):
     polys = fixtures.polygons_table(spark, 15, seed=5)
     rng = np.random.default_rng(6)

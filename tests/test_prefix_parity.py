@@ -13,9 +13,10 @@ BITS = 40
 
 def _reference_search(origins: pd.DataFrame, neighbors: pd.DataFrame,
                       radius_km: float):
-    """Numpy twin of the reference pipeline: per-origin bbox (center-lat lon
-    offset, GeoSearch.scala:134-151) -> 4-corner common prefix -> candidates
-    by prefix match -> law-of-cosines filter (drop > radius)."""
+    """Numpy twin of the reference pipeline: per-origin bbox with CORNER
+    lon-offset semantics (addDistanceToLongitude applied to the already
+    latitude-shifted point, GeoSearch.scala:136-137) -> 4-corner common
+    prefix -> candidates by prefix match -> law-of-cosines filter."""
     n_cells = cells.encode(
         neighbors["latitude"].to_numpy(), neighbors["longitude"].to_numpy(), BITS
     )
@@ -24,8 +25,8 @@ def _reference_search(origins: pd.DataFrame, neighbors: pd.DataFrame,
         la, lo = o["latitude"], o["longitude"]
         lat_min = geodesy.add_distance_to_latitude(-radius_km, la)
         lat_max = geodesy.add_distance_to_latitude(radius_km, la)
-        lon_min = geodesy.add_distance_to_longitude(-radius_km, la, lo)
-        lon_max = geodesy.add_distance_to_longitude(radius_km, la, lo)
+        lon_min = geodesy.add_distance_to_longitude(-radius_km, lat_min, lo)
+        lon_max = geodesy.add_distance_to_longitude(radius_km, lat_max, lo)
         corners = cells.encode(
             np.array([lat_min, lat_min, lat_max, lat_max]),
             np.array([lon_min, lon_max, lon_min, lon_max]),
