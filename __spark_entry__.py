@@ -379,11 +379,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling FNV-1a document fingerprints (rows-only)."""
-    from geoengine.text import make_fingerprint_udf
+    """Document fingerprints: md5-prefix int64, pure Column expression
+    (oracle: identical DuckDB arithmetic)."""
+    from geoengine.text import fingerprint_expr
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", make_fingerprint_udf()(F.col("text")).alias("fp"))
+    return docs.select("doc_id", fingerprint_expr("text").alias("fp"))
 
 
 def q_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +691,11 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY d DESC, neighbor_id) AS rn
               FROM dd
             ) WHERE rn <= {TOPK_N}
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+            FROM documents
         """,
         "token_regex": r"""
             SELECT doc_id,

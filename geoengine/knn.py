@@ -62,6 +62,32 @@ def knn_join_brute(origins: DataFrame, neighbors: DataFrame, k: int) -> DataFram
     return _ranked(_pairs_dist(o, F.broadcast(nb), "cross"), k)
 
 
+def _plan_stats(df: DataFrame) -> tuple[int | None, int | None]:
+    """(rowCount, sizeInBytes) from Catalyst plan statistics — NO job is
+    triggered (unlike ``df.count()``). rowCount is None unless the catalog
+    has exact stats; sizeInBytes for file sources is the COMPRESSED file
+    size (can be 10-20x below in-memory size)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        rows = int(str(rc.get())) if rc.isDefined() else None
+        size = int(str(stats.sizeInBytes()))
+        return rows, (size if size > 0 else None)
+    except Exception:  # pragma: no cover - py4j surface differences
+        return None, None
+
+
+def estimated_rows(df: DataFrame, assumed_row_bytes: int = 48) -> int | None:
+    """Plan-statistics row estimate; log-scale accuracy only (strategy and
+    resolution choices, never correctness)."""
+    rows, size = _plan_stats(df)
+    if rows is not None:
+        return rows
+    if size is None:
+        return None
+    return max(size // assumed_row_bytes, 1)
+
+
 def knn_join_rings(
     origins: DataFrame,
     neighbors: DataFrame,
@@ -70,12 +96,29 @@ def knn_join_rings(
     max_rounds: int = 3,
     neighbor_count: int | None = None,
 ) -> DataFrame:
-    """Exact kNN by iterative ring probing (see module docstring)."""
+    """Exact kNN by iterative ring probing (see module docstring).
+
+    Round r probes ONLY the new Chebyshev shell (prev_r, r] — prior rounds'
+    candidates are carried forward as each pending origin's top-k-so-far
+    (top-k of a union == top-k of per-part top-k, so nothing is lost and no
+    cell is ever joined twice). Certification safety:
+      - ring bound: a point outside Chebyshev ring r is at least
+        r * min(cell_lat_km, 2*cell_lon_km(worst lat)) away;
+      - pole guard: origins whose ring extent reaches a pole are never
+        certified (over-the-pole neighbors break the grid-separation bound)
+        and fall through to the exact fallback;
+      - the fallback is a plain crossJoin with NO broadcast hint — the rings
+        strategy is chosen precisely when the neighbor side may be too big
+        to broadcast, so stragglers must not force one (AQE still picks a
+        broadcast at runtime if the side turns out small).
+    """
     o_all = _prefixed(validate_points(origins), "origin_")
     nb = _prefixed(validate_points(neighbors), "neighbor_")
 
     if neighbor_count is None:
-        neighbor_count = nb.count()
+        neighbor_count = estimated_rows(nb)
+        if neighbor_count is None:
+            neighbor_count = nb.count()
     if half_bits is None:
         # aim for ~4k neighbors expected inside ring 1 (9 cells)
         density_target = max(k * 4, 16)
@@ -90,66 +133,72 @@ def knn_join_rings(
     ).cache()
     pending = o_all.withColumn(
         "_oix", exprs.grid_ix(F.col("origin_longitude"), hb)
-    ).withColumn("_oiy", exprs.grid_iy(F.col("origin_latitude"), hb))
+    ).withColumn("_oiy", exprs.grid_iy(F.col("origin_latitude"), hb)).cache()
 
     results = []
-    cached = []
-    r = 1
-    pending = pending.cache()
-    cached.append(pending)
+    acc: DataFrame | None = None  # pending origins' top-k-so-far candidates
+    r, prev_r = 1, -1
     for _ in range(max_rounds):
+        if 2 * r + 1 > n:
+            break  # shell would wrap the globe: no disjointness, fall back
         if not pending.take(1):
             break
-        dxy = F.explode(F.sequence(F.lit(-r), F.lit(r)))
+        dx = F.explode(F.sequence(F.lit(-r), F.lit(r)))
+        dy = F.explode(F.sequence(F.lit(-r), F.lit(r)))
         probe = (
-            pending.withColumn("_dx", dxy)
-            .withColumn("_dy", dxy)
+            pending.withColumn("_dx", dx)
+            .withColumn("_dy", dy)
+            # new shell only: Chebyshev distance in (prev_r, r]
+            .where(F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy"))) > prev_r)
+            # latitude cells outside the grid don't exist (no clamp: clamping
+            # would duplicate edge cells across shells)
+            .where(
+                (F.col("_oiy") + F.col("_dy") >= 0)
+                & (F.col("_oiy") + F.col("_dy") <= n - 1)
+            )
             .withColumn(
                 "n_gkey",
                 exprs.grid_key(
                     F.pmod(F.col("_oix") + F.col("_dx"), F.lit(n)).cast("long"),
-                    F.least(
-                        F.greatest(F.col("_oiy") + F.col("_dy"), F.lit(0)),
-                        F.lit(n - 1),
-                    ).cast("long"),
+                    (F.col("_oiy") + F.col("_dy")).cast("long"),
                     hb,
                 ),
             )
             .drop("_dx", "_dy")
-            .dropDuplicates(["origin_id", "n_gkey"])
         )
-        cand = _ranked(
-            _pairs_dist(probe, nb, "inner", on="n_gkey").drop("n_gkey"), k
-        )
+        new_pairs = _pairs_dist(probe, nb, "inner", on="n_gkey").drop("n_gkey")
+        all_cand = new_pairs if acc is None else acc.unionByName(new_pairs)
+        ranked = _ranked(all_cand, k).cache()  # read 3x: kth, done, carry
         # guaranteed-covered radius of ring r at this origin's latitude
-        lat_extent = (F.abs(F.col("origin_latitude")) + (r + 1) * 180.0 / n)
-        cos_worst = F.cos(
-            F.least(lat_extent, F.lit(89.9)) * math.pi / 180.0
-        )
+        lat_extent = F.abs(F.col("origin_latitude")) + (r + 1) * 180.0 / n
+        cos_worst = F.cos(F.least(lat_extent, F.lit(89.9)) * math.pi / 180.0)
         guar = r * lat_cell_km * F.least(F.lit(1.0), 2.0 * cos_worst)
         kth = (
-            cand.groupBy("origin_id")
+            ranked.groupBy("origin_id")
             .agg(F.max("distance_km").alias("_dk"), F.count("*").alias("_cnt"))
         )
-        cand = cand.join(kth, "origin_id")
-        done = cand.where((F.col("_cnt") >= k) & (F.col("_dk") <= guar)).drop(
-            "_dk", "_cnt", "_oix", "_oiy"
-        ).cache()  # each round's output is read twice (anti-join + union)
-        cached.append(done)
+        cand = ranked.join(kth, "origin_id")
+        done = (
+            cand.where(
+                (F.col("_cnt") >= k)
+                & (F.col("_dk") <= guar)
+                & (lat_extent < 90.0)  # pole guard: never certify over-pole
+            )
+            .drop("_dk", "_cnt", "_oix", "_oiy")
+            .cache()  # read twice (anti-join + union)
+        )
         results.append(done)
         done_ids = done.select("origin_id").distinct()
         pending = pending.join(done_ids, "origin_id", "left_anti").cache()
-        cached.append(pending)
-        r *= 2
+        acc = ranked.drop("knn_rank").join(done_ids, "origin_id", "left_anti")
+        prev_r, r = r, r * 2
 
-    # brute-force fallback for origins no round could certify
+    # exact fallback for origins no round could certify — NO broadcast hint:
+    # the neighbor side may exceed broadcast capacity (that's why rings was
+    # selected); AQE may still pick a broadcast when it turns out small.
     if pending.take(1):
         rest = _ranked(
-            _pairs_dist(
-                pending.drop("_oix", "_oiy"),
-                F.broadcast(nb.drop("n_gkey")),
-                "cross",
-            ),
+            _pairs_dist(pending.drop("_oix", "_oiy"), nb.drop("n_gkey"), "cross"),
             k,
         )
         results.append(rest)
@@ -166,13 +215,23 @@ def knn_join(
     k: int,
     strategy: str = "auto",
     broadcast_threshold_rows: int = 5_000_000,
+    broadcast_threshold_bytes: int = 64 << 20,
     **kw,
 ) -> DataFrame:
     if strategy == "brute":
         return knn_join_brute(origins, neighbors, k)
     if strategy == "rings":
         return knn_join_rings(origins, neighbors, k, **kw)
-    cnt = neighbors.count()
-    if cnt <= broadcast_threshold_rows:
+    # auto: plan statistics (no job — an exact count() here would eagerly
+    # execute at plan-build time). Gate on BYTES when only file sizes are
+    # known: parquet sizeInBytes is compressed, so a row estimate derived
+    # from it under-counts 10-20x; 64 MiB compressed stays comfortably
+    # inside executor broadcast budgets even at ~20x expansion.
+    rows, size = _plan_stats(neighbors)
+    if rows is None and size is None:
+        rows = neighbors.count()
+    small = (rows is not None and rows <= broadcast_threshold_rows) if rows is not None \
+        else (size is not None and size <= broadcast_threshold_bytes)
+    if small:
         return knn_join_brute(origins, neighbors, k)
-    return knn_join_rings(origins, neighbors, k, neighbor_count=cnt, **kw)
+    return knn_join_rings(origins, neighbors, k, **kw)

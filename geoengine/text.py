@@ -71,42 +71,59 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
     return _sig
 
 
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+
+
+def simhash_batch(texts, shingle_k: int = 5) -> np.ndarray:
+    """Vectorized SimHash of a batch of texts -> int64[B].
+
+    One flat pass: concatenate all documents' shingle hashes, expand the
+    bit matrix once, segment-sum per document with add.reduceat, then pack
+    the per-bit majority signs with a single weighted sum — no per-document
+    or per-bit Python loops."""
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64)
+    shingles = [_shingle_hashes(t or "", shingle_k) for t in texts]
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    flat = np.concatenate(shingles)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bits = (
+        (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int64)
+    counts = np.add.reduceat(bits, starts, axis=0)  # (B, 64)
+    score = 2 * counts - lens[:, None]  # sum of (2*bit - 1) per position
+    packed = ((score > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
+        axis=1, dtype=np.uint64
+    )
+    return packed.astype(np.int64)
+
+
 @lru_cache(maxsize=None)
 def make_simhash_udf(shingle_k: int = 5):
     """pandas_udf text -> int64 SimHash (sign of per-bit sums)."""
 
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            sh = _shingle_hashes(t or "", shingle_k)
-            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            acc = np.uint64(0)
-            for bit in (score > 0).astype(np.uint64)[::-1]:
-                acc = (acc << np.uint64(1)) | bit
-            out[i] = np.int64(acc.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(simhash_batch(list(text), shingle_k))
 
     return _sim
 
 
-@lru_cache(maxsize=None)
-def make_fingerprint_udf():
-    """Rolling FNV-1a document fingerprint -> int64 (cheap content id)."""
+def fingerprint_expr(text_col) -> "F.Column":
+    """64-bit-ish content fingerprint -> int64: first 15 hex chars of the
+    md5 digest parsed as an integer (60 bits, always positive). Pure Column
+    expression (whole-stage codegen, no Python) with an exact DuckDB twin:
+    ``CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.col(text_col).cast("binary") if isinstance(text_col, str)
+                          else text_col.cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
 
-    @pandas_udf("long")
-    def _fp(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            h = 0xCBF29CE484222325
-            for ch in (t or "").encode():
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out[i] = np.int64(np.uint64(h).astype(np.int64))
-        return pd.Series(out)
 
-    return _fp
+def sql_fingerprint(text_col: str) -> str:
+    """DuckDB twin of fingerprint_expr (same 60-bit integer)."""
+    return f"CAST(('0x' || substr(md5({text_col}), 1, 15)) AS BIGINT)"
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",

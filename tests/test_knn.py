@@ -43,6 +43,40 @@ def test_rings_sparse_neighbors_fallback(spark):
     assert (out.groupby("origin_id").size() == 3).all()
 
 
+def test_rings_polar_origins_equal_brute(spark):
+    # regression: origins within one cell of the pole must not be certified
+    # by the ring bound — an over-the-pole neighbor (large delta-lon) can be
+    # closer than the grid-separation guarantee; pole guard routes them to
+    # the exact fallback
+    rng = np.random.default_rng(17)
+    o = pd.DataFrame(
+        {
+            "id": [f"o{i}" for i in range(40)],
+            "latitude": np.concatenate(
+                [rng.uniform(88.0, 89.99, 20), rng.uniform(-89.99, -88.0, 20)]
+            ),
+            "longitude": rng.uniform(-179.9, 179.9, 40),
+        }
+    )
+    nb = pd.DataFrame(
+        {
+            "id": [f"n{i}" for i in range(600)],
+            "latitude": np.concatenate(
+                [rng.uniform(85.0, 90.0, 200), rng.uniform(-90.0, -85.0, 200),
+                 rng.uniform(-80, 80, 200)]
+            ),
+            "longitude": rng.uniform(-180.0, 180.0, 600),
+        }
+    )
+    brute = knn_join_brute(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 4
+    ).select("origin_id", "neighbor_id", "knn_rank").toPandas()
+    rings = knn_join_rings(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 4, half_bits=5
+    ).select("origin_id", "neighbor_id", "knn_rank").toPandas()
+    assert _key_set(rings) == _key_set(brute)
+
+
 def test_rings_clustered_hot_region(spark):
     # dense cluster (hot cells) + far outliers
     rng = np.random.default_rng(15)

@@ -67,14 +67,41 @@ def test_simhash_near_dup(spark):
 
 
 def test_fingerprint_deterministic(spark):
-    docs = _docs_with_dups(spark)
-    fp = text.make_fingerprint_udf()
-    from pyspark.sql import functions as F
+    import hashlib
 
-    out = docs.select("doc_id", "text", fp(F.col("text")).alias("fp")).toPandas()
+    docs = _docs_with_dups(spark)
+    out = docs.select(
+        "doc_id", "text", text.fingerprint_expr("text").alias("fp")
+    ).toPandas()
     by_text = out.groupby("text")["fp"].nunique()
     assert (by_text == 1).all()  # same text -> same fingerprint
     assert out["fp"].nunique() > 30  # distinct texts -> distinct fps
+    # value golden: md5-prefix definition, reproducible anywhere
+    row = out.iloc[0]
+    want = int(hashlib.md5(row["text"].encode()).hexdigest()[:15], 16)
+    assert int(row["fp"]) == want
+
+
+def test_simhash_batch_matches_per_doc_reference():
+    # lock the vectorized kernel to the definitional per-doc computation
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "ab",
+        "",
+    ]
+    got = text.simhash_batch(texts)
+    for i, t in enumerate(texts):
+        sh = text._shingle_hashes(t or "", 5)
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        score = (2 * bits - 1).sum(axis=0)
+        want = 0
+        for k in range(64):
+            if score[k] > 0:
+                want |= 1 << k
+        want = np.uint64(want).astype(np.int64)
+        assert got[i] == want
 
 
 def test_text_stats_and_lang(spark):
