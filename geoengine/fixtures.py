@@ -39,6 +39,31 @@ def fnv1a64(s: str) -> int:
     return h
 
 
+# image placement / metadata derived from the integer index with pure
+# arithmetic so a SQL oracle (DuckDB range()) can reproduce it exactly
+IMG_LAT_MULT, IMG_LON_MULT = 9973, 7919
+
+
+def img_lat(i: int) -> float:
+    return ((i * IMG_LAT_MULT) % 1_700_000) / 10_000.0 - 85.0
+
+
+def img_lon(i: int) -> float:
+    return ((i * IMG_LON_MULT) % 3_600_000) / 10_000.0 - 180.0
+
+
+def sql_img_cols(i: str = "i") -> dict[str, str]:
+    """DuckDB twins of every index-derived image column (same IEEE ops)."""
+    return {
+        "image_id": f"printf('img%010d', {i})",
+        "w": f"CAST(CASE {i} % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS INTEGER)",
+        "h": f"CAST(CASE ({i} // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS INTEGER)",
+        "fmt": f"CASE WHEN {i} % 10 = 7 THEN 'q6' ELSE 'raw' END",
+        "latitude": f"((({i} * {IMG_LAT_MULT}) % 1700000) / 10000.0e0 - 85.0e0)",
+        "longitude": f"((({i} * {IMG_LON_MULT}) % 3600000) / 10000.0e0 - 180.0e0)",
+    }
+
+
 def _make_batch(ids: list[int], seed: int) -> pd.DataFrame:
     """Deterministic rows for a batch of indices; phash computed as batched
     matmuls per (h, w) shape group."""
@@ -55,7 +80,6 @@ def _make_batch(ids: list[int], seed: int) -> pd.DataFrame:
             px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
         else:
             fmt, buf = "raw", px.tobytes()
-        hv = fnv1a64(image_id)
         rows.append(
             {
                 "image_id": image_id,
@@ -65,8 +89,10 @@ def _make_batch(ids: list[int], seed: int) -> pd.DataFrame:
                 "fmt": fmt,
                 "caption": f"caption of {image_id}: {_ADJ[i % 8]} {_NOUN[(i // 8) % 8]}",
                 "_px": px,
-                "latitude": (hv % 1_700_000) / 10_000.0 - 85.0,
-                "longitude": (hv // 1_700_000 % 3_600_000) / 10_000.0 - 180.0,
+                # integer-index placement (sql_img_cols twin) so a DuckDB
+                # range() oracle reproduces it exactly
+                "latitude": img_lat(i),
+                "longitude": img_lon(i),
             }
         )
     df = pd.DataFrame(rows)
@@ -100,6 +126,44 @@ def images_table(spark: SparkSession, n: int, seed: int = 42,
 def images_pandas(n: int, seed: int = 42) -> pd.DataFrame:
     """Driver-side twin for unit tests / oracles."""
     return _make_batch(list(range(n)), seed)
+
+
+VIDEO_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, fmt string"
+)
+
+
+def videos_table(spark: SparkSession, n: int, seed: int = 42,
+                 partitions: int | None = None) -> DataFrame:
+    """Deterministic multi-frame 'video' payloads: 1 + (i % 7) concatenated
+    HxWx3 raw frames per row. Frame COUNT is index-derived arithmetic so a
+    DuckDB range() oracle can verify sampling exactly (sql_video_cols)."""
+    base = spark.range(0, n, 1, partitions or 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in (int(x) for x in b["id"]):
+                rng = np.random.default_rng(seed ^ (i * 2654435761 % (1 << 63)))
+                w = SIZES[i % len(SIZES)]
+                h = SIZES[(i // 3) % len(SIZES)]
+                nf = 1 + (i % 7)
+                px = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+                rows.append(
+                    {"video_id": f"vid{i:010d}", "bytes": px.tobytes(),
+                     "w": w, "h": h, "fmt": "raw"}
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
+def sql_video_cols(i: str = "i") -> dict[str, str]:
+    """DuckDB twins of the index-derived video columns."""
+    return {
+        "video_id": f"printf('vid%010d', {i})",
+        "n_frames": f"CAST(1 + ({i} % 7) AS BIGINT)",
+    }
 
 
 def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42) -> DataFrame:

@@ -96,6 +96,35 @@ def make_centroid_assign_udf(centroids: np.ndarray, n_probe: int = 1):
     return _assign
 
 
+def refine_centroids_lloyd(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> np.ndarray:
+    """Distributed Lloyd iterations over the corpus: assign each vector to
+    its nearest centroid (Arrow-batched matmul), mean per (cell, dim) via
+    posexplode + groupBy (map-side partial agg, one shuffle of
+    n_centroids x dim cells), collect only the tiny codebook. Empty cells
+    keep their previous centroid."""
+    n_centroids, dim = centroids.shape
+    for _ in range(iters):
+        assign1 = make_centroid_assign_udf(centroids, 1)
+        agg = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .toPandas()  # <= n_centroids * dim rows — bounded codebook
+        )
+        new = centroids.copy()
+        for c, sub in agg.groupby("cell"):
+            new[int(c)] = sub.sort_values("pos")["m"].to_numpy()
+        centroids = new
+    return centroids
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -104,13 +133,16 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 3,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors bucketed by nearest centroid (seeded
-    deterministic codebook = first n_centroids corpus vectors by id — a
-    k-means iteration can refine it without changing the plan shape);
-    queries probe their n_probe nearest centroid buckets; exact cosine +
-    window top-k inside colliding buckets only. Approximate — recall
-    measured in tests."""
+    deterministic codebook = first n_centroids corpus vectors by id,
+    optionally refined with ``refine_iters`` distributed Lloyd iterations —
+    the plan shape is unchanged); queries probe their n_probe nearest
+    centroid buckets; exact cosine + window top-k inside colliding buckets
+    only. Approximate for n_probe < n_centroids (recall measured in tests);
+    EXACT for n_probe == n_centroids (every bucket probed — the
+    oracle-certified configuration)."""
     sample = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
@@ -118,6 +150,9 @@ def cosine_topk_ivf(
         .toPandas()[vec_col]
     )
     centroids = np.stack(sample.to_numpy()).astype(np.float64)
+    if refine_iters > 0:
+        centroids = refine_centroids_lloyd(corpus, centroids, vec_col,
+                                           refine_iters)
 
     assign1 = make_centroid_assign_udf(centroids, 1)
     assignP = make_centroid_assign_udf(centroids, n_probe)

@@ -43,12 +43,33 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _minhash_sigs_from_flat(
+    flat: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Segment-min MinHash over a flat item-hash array (uint64) with
+    per-document lengths — one vectorized pass per hash function."""
+    num_hashes = len(a)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    sigs = np.empty((len(lens), num_hashes), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(num_hashes):  # num_hashes rows, each fully vectorized
+            vals = (a[j] * flat + b[j]) % np.uint64(MERSENNE)
+            sigs[:, j] = np.minimum.reduceat(vals, starts).astype(np.int64)
+    return sigs
+
+
 @lru_cache(maxsize=None)
-def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
-    """pandas_udf text -> array<long> MinHash signature."""
+def _minhash_coeffs(num_hashes: int, seed: int):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE - 1, num_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, MERSENNE - 1, num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+@lru_cache(maxsize=None)
+def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
+    """pandas_udf text -> array<long> MinHash signature over char shingles."""
+    a, b = _minhash_coeffs(num_hashes, seed)
 
     @pandas_udf("array<long>")
     def _sig(text: pd.Series) -> pd.Series:
@@ -59,14 +80,47 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
             _shingle_hashes(t or "", shingle_k) & np.uint64((1 << 32) - 1)
             for t in text
         ]
+        if not shingles:
+            return pd.Series([], dtype=object)
         lens = np.array([len(s) for s in shingles], dtype=np.int64)
-        flat = np.concatenate(shingles) if shingles else np.empty(0, np.uint64)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        sigs = np.empty((len(text), num_hashes), dtype=np.int64)
-        for j in range(num_hashes):  # num_hashes rows, each fully vectorized
-            vals = (a[j] * flat + b[j]) % np.uint64(MERSENNE)
-            sigs[:, j] = np.minimum.reduceat(vals, starts).astype(np.int64)
-        return pd.Series(list(sigs))
+        flat = np.concatenate(shingles)
+        return pd.Series(list(_minhash_sigs_from_flat(flat, lens, a, b)))
+
+    return _sig
+
+
+def word_hashes_expr(text_col: str = "text"):
+    """JVM-side item hashes of the distinct word set — codegen'd
+    ``transform(array_distinct(split(text,' ')), x -> xxhash64(x))`` masked
+    to 32 bits. Feeds the *-from_hashes signature UDFs so the LSH item space
+    is IDENTICAL to the word-set-Jaccard verify stage."""
+    return F.expr(
+        f"transform(array_distinct(split(coalesce({text_col}, ''), ' ')), "
+        f"x -> xxhash64(x) & 4294967295)"
+    )
+
+
+def _flat_from_hash_arrays(items: pd.Series):
+    arrs = [np.asarray(x, dtype=np.int64).astype(np.uint64) for x in items]
+    if not arrs:
+        return None, None
+    lens = np.array([max(len(x), 1) for x in arrs], dtype=np.int64)
+    arrs = [x if len(x) else np.zeros(1, np.uint64) for x in arrs]
+    return np.concatenate(arrs), lens
+
+
+@lru_cache(maxsize=None)
+def make_minhash_from_hashes_udf(num_hashes: int = 64, seed: int = 7):
+    """pandas_udf array<long> item hashes -> array<long> MinHash signature
+    (no Python string processing: items are hashed JVM-side)."""
+    a, b = _minhash_coeffs(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def _sig(items: pd.Series) -> pd.Series:
+        flat, lens = _flat_from_hash_arrays(items)
+        if flat is None:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_minhash_sigs_from_flat(flat, lens, a, b)))
 
     return _sig
 
@@ -74,18 +128,11 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
 _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
 
 
-def simhash_batch(texts, shingle_k: int = 5) -> np.ndarray:
-    """Vectorized SimHash of a batch of texts -> int64[B].
-
-    One flat pass: concatenate all documents' shingle hashes, expand the
+def _simhash_from_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """SimHash over a flat item-hash array with per-doc lengths: expand the
     bit matrix once, segment-sum per document with add.reduceat, then pack
     the per-bit majority signs with a single weighted sum — no per-document
     or per-bit Python loops."""
-    if len(texts) == 0:
-        return np.empty(0, dtype=np.int64)
-    shingles = [_shingle_hashes(t or "", shingle_k) for t in texts]
-    lens = np.array([len(s) for s in shingles], dtype=np.int64)
-    flat = np.concatenate(shingles)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     bits = (
         (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
@@ -98,6 +145,15 @@ def simhash_batch(texts, shingle_k: int = 5) -> np.ndarray:
     return packed.astype(np.int64)
 
 
+def simhash_batch(texts, shingle_k: int = 5) -> np.ndarray:
+    """Vectorized SimHash of a batch of texts -> int64[B]."""
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64)
+    shingles = [_shingle_hashes(t or "", shingle_k) for t in texts]
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    return _simhash_from_flat(np.concatenate(shingles), lens)
+
+
 @lru_cache(maxsize=None)
 def make_simhash_udf(shingle_k: int = 5):
     """pandas_udf text -> int64 SimHash (sign of per-bit sums)."""
@@ -105,6 +161,28 @@ def make_simhash_udf(shingle_k: int = 5):
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
         return pd.Series(simhash_batch(list(text), shingle_k))
+
+    return _sim
+
+
+@lru_cache(maxsize=None)
+def make_simhash_from_hashes_udf():
+    """pandas_udf array<long> item hashes -> int64 SimHash. Hashes are
+    re-avalanched through a splitmix64 round first: raw 32-bit-masked
+    xxhash64 values have zeroed high bits, which would freeze half the
+    simhash bit positions."""
+
+    @pandas_udf("long")
+    def _sim(items: pd.Series) -> pd.Series:
+        flat, lens = _flat_from_hash_arrays(items)
+        if flat is None:
+            return pd.Series([], dtype="int64")
+        with np.errstate(over="ignore"):
+            z = flat + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        return pd.Series(_simhash_from_flat(z, lens))
 
     return _sim
 
@@ -280,6 +358,157 @@ def ngram_jaccard_pairs(
             F.col("r.doc").alias("doc2"),
             F.round("jaccard", 6).alias("jaccard"),
         )
+    )
+
+
+def _minhash_band_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    items: str = "shingles",
+) -> DataFrame:
+    """(doc1 < doc2) candidate pairs = any band-bucket collision (no
+    estimated-Jaccard filter — recall belongs to band tuning, precision to
+    the exact verify stage downstream). ``items='words'`` signs the distinct
+    word set (the same item space the exact word-Jaccard verify measures);
+    ``'shingles'`` signs char k-shingles."""
+    rows = num_hashes // bands
+    if items == "words":
+        sig_col = make_minhash_from_hashes_udf(num_hashes)(
+            word_hashes_expr(text_col)
+        )
+    else:
+        sig_col = make_minhash_udf(num_hashes, shingle_k)(F.col(text_col))
+    with_sig = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+        .withColumn("sig", sig_col)
+        .drop(text_col)
+    )
+    banded = with_sig.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"aggregate(slice(sig, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
+                f"(acc, x) -> xxhash64(acc, x)) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+
+def _simhash_block_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_bits: int,
+    shingle_k: int = 5,
+    items: str = "shingles",
+) -> DataFrame:
+    """(doc1 < doc2) candidate pairs sharing >=1 exact simhash block
+    (pigeonhole: guarantees recall of every pair with hamming <
+    64/block_bits)."""
+    if items == "words":
+        sim_col = make_simhash_from_hashes_udf()(word_hashes_expr(text_col))
+    else:
+        sim_col = make_simhash_udf(shingle_k)(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col)).withColumn(
+        "simhash", sim_col
+    ).drop(text_col)
+    nblocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocked = d.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {nblocks - 1}), "
+                f"b -> struct(b AS blk, "
+                f"shiftright(simhash, b * {block_bits}) & {mask} AS val))"
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.blk", "bb.val")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+
+def lsh_verified_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    group_col: str | None = None,
+    prefilter: str = "minhash",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 5,
+    block_bits: int = 8,
+    items: str = "words",
+) -> DataFrame:
+    """Scale-safe exact near-dup pairs: LSH candidate generation (MinHash
+    banding or SimHash blocks) -> exact word-set Jaccard verify on the
+    candidates only. Output (doc1, doc2, jaccard) with jaccard >= threshold.
+
+    This is the 100-TB composition: no all-pairs join ever materializes —
+    the quadratic exact test runs only on bucket collisions. At gate scale
+    the band/block parameters are tuned for recall 1.0, so the result
+    equals the all-pairs computation and is DuckDB-oracle-checkable.
+    """
+    if prefilter == "minhash":
+        cand = _minhash_band_candidates(
+            docs, id_col, text_col, num_hashes, bands, shingle_k, items
+        )
+    elif prefilter == "simhash":
+        cand = _simhash_block_candidates(docs, id_col, text_col, block_bits,
+                                         shingle_k, items)
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+
+    cols = [F.col(id_col).alias("doc"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("words")]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("grp"))
+    d = docs.select(*cols)
+    j = (
+        cand.join(d.select(F.col("doc").alias("doc1"),
+                           F.col("words").alias("w1"),
+                           *([F.col("grp").alias("g1")] if group_col else [])),
+                  "doc1")
+        .join(d.select(F.col("doc").alias("doc2"),
+                       F.col("words").alias("w2"),
+                       *([F.col("grp").alias("g2")] if group_col else [])),
+              "doc2")
+    )
+    if group_col is not None:
+        j = j.where(F.col("g1") == F.col("g2"))
+    inter = F.size(F.array_intersect(F.col("w1"), F.col("w2")))
+    uni = F.size("w1") + F.size("w2") - inter
+    return (
+        j.withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -46,13 +46,31 @@ def test_ivf_recall(spark):
     df, m = _clustered_vecs(spark, 400, n_clusters=10, seed=43)
     k = 3
     exact = similarity.cosine_topk_brute(df, df, k).toPandas()
-    approx = similarity.cosine_topk_ivf(
-        df, df, k, n_centroids=24, n_probe=4
-    ).toPandas()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
-    a = set(zip(approx["query_id"], approx["neighbor_id"]))
-    recall = len(e & a) / len(e)
-    assert recall >= 0.7, recall
+
+    def recall(refine_iters):
+        approx = similarity.cosine_topk_ivf(
+            df, df, k, n_centroids=24, n_probe=4, refine_iters=refine_iters
+        ).toPandas()
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        return len(e & a) / len(e)
+
+    r0, r1 = recall(0), recall(1)
+    assert r0 >= 0.7, r0
+    # one Lloyd iteration tightens the codebook onto the true clusters
+    assert r1 >= 0.9, (r0, r1)
+
+
+def test_ivf_full_probe_is_exact(spark):
+    df, m = _clustered_vecs(spark, 300, n_clusters=8, seed=47)
+    k = 3
+    exact = similarity.cosine_topk_brute(df, df, k).toPandas()
+    full = similarity.cosine_topk_ivf(
+        df, df, k, n_centroids=12, n_probe=12, refine_iters=1
+    ).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"], exact["sim_rank"]))
+    f = set(zip(full["query_id"], full["neighbor_id"], full["sim_rank"]))
+    assert e == f
 
 
 def test_lsh_recall_reasonable(spark):
