@@ -159,6 +159,45 @@ def q_distance_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_mi_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20: registered SQL UDF distanceMi (string-in, kmToMi composition,
+    SqlUDF.scala:23-31)."""
+    from geoengine.udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    pts = datasets.customer_points(spark, sf_dir)
+    pts.createOrReplaceTempView("_pts_udf_mi")
+    return spark.sql(
+        """
+        SELECT id,
+               round(distanceMi(cast(latitude AS string), cast(longitude AS string),
+                                '38.907192', '-77.036873'), 6) AS dist_mi
+        FROM _pts_udf_mi
+        """
+    )
+
+
+def q_radius_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10a: bit-exact parity mode of the reference's LIKE-'prefix%'
+    retrieval (searchSpace corner-cell prefix, GeoSearch.scala:109-123,
+    SparkDS.scala:70-78) — including its high-latitude under-coverage and
+    empty-prefix full-scan degradation. The oracle reproduces the retrieval
+    itself in SQL (corner cells, clz-style common prefix, prefix-shift
+    join), not just the distance filter."""
+    from geoengine.join import radius_join_pairs_prefix
+
+    pairs = radius_join_pairs_prefix(
+        datasets.customer_points(spark, sf_dir),
+        datasets.supplier_points(spark, sf_dir),
+        RADIUS_KM,
+        "km",
+        bits=40,
+    )
+    return pairs.select(
+        "origin_id", "neighbor_id", F.round("distance_km", 6).alias("dist_km")
+    )
+
+
 def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4-G6: radius bounding-box corners (reference corner semantics:
     lon offsets at the SHIFTED latitudes, GeoSearch.scala:136-137)."""
@@ -460,7 +499,8 @@ def q_explode_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14+R21: nested SearchResult assembly then explode back to rows
     (the notebook's post-processing pivot, 01_geospatial_searches.scala:193)."""
     top = top_n_per_origin(_pairs(spark, sf_dir), TOPK_N)
-    nested = assemble_search_results(top, unit="km", radius=RADIUS_KM)
+    nested = assemble_search_results(top, unit="km", radius=RADIUS_KM,
+                                     timing=False)  # deterministic oracle path
     return nested.select(
         F.col("origin.id").alias("origin_id"),
         F.explode("neighbors").alias("n"),
@@ -546,6 +586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
     "radius_pairs_miles": q_radius_pairs_miles,
+    "radius_pairs_prefix": q_radius_pairs_prefix,
+    "distance_mi_udf": q_distance_mi_udf,
     "explode_results": q_explode_results,
     "topk_parity": q_topk_parity,
     "record_count": q_record_count,
@@ -590,6 +632,64 @@ def _sql_pip() -> str:
                WHERE ((e.yj > p.lat) != (e.yk > p.lat))
                  AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
                               / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
+def _sql_prefix_pairs(bits: int = 40) -> str:
+    """DuckDB twin of radius_join_pairs_prefix (R10a): per-origin corner
+    cells at `bits`, common MSB prefix of the 4 corners (clz-of-xor via a
+    shift-scan list comprehension), candidates by prefix-shift equality
+    (plen=0 shifts by `bits` -> 0=0 == the LIKE '%' full scan), then the
+    exact distance filter. Matches GeoSearch.scala:109-123 + SparkDS.scala
+    retrieval semantics bit for bit."""
+    hb = bits // 2
+    r = f"{RADIUS_KM!r}e0"
+    lat_lo = exprs.sql_lat_plus_km("lat", f"-{r}")
+    lat_hi = exprs.sql_lat_plus_km("lat", r)
+    lon_lo = exprs.sql_lon_plus_km("lat_lo", "lon", f"-{r}")
+    lon_hi = exprs.sql_lon_plus_km("lat_hi", "lon", r)
+
+    def plen(a: str, b: str) -> str:
+        return (
+            f"list_max([{bits} - s FOR s IN range(0, {bits + 1}) "
+            f"IF ({a} >> s) = ({b} >> s)])"
+        )
+
+    dist = exprs.sql_dist_km("o.lat", "o.lon", "sc.lat", "sc.lon")
+    return f"""
+        WITH c0 AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                    FROM customer),
+        c1 AS (SELECT id, lat, lon, {lat_lo} AS lat_lo, {lat_hi} AS lat_hi
+               FROM c0),
+        c2 AS (SELECT id, lat, lon, lat_lo, lat_hi,
+                      {lon_lo} AS lon_lo, {lon_hi} AS lon_hi FROM c1),
+        c3 AS (SELECT id, lat, lon,
+                      {exprs.sql_grid_ix('lon_lo', hb)} AS ix_lo,
+                      {exprs.sql_grid_ix('lon_hi', hb)} AS ix_hi,
+                      {exprs.sql_grid_iy('lat_lo', hb)} AS iy_lo,
+                      {exprs.sql_grid_iy('lat_hi', hb)} AS iy_hi FROM c2),
+        c4 AS (SELECT id, lat, lon,
+                      {exprs.sql_interleave('ix_lo', 'iy_lo', hb)} AS c_sw,
+                      {exprs.sql_interleave('ix_hi', 'iy_lo', hb)} AS c_se,
+                      {exprs.sql_interleave('ix_lo', 'iy_hi', hb)} AS c_nw,
+                      {exprs.sql_interleave('ix_hi', 'iy_hi', hb)} AS c_ne
+               FROM c3),
+        o AS (SELECT id, lat, lon, c_sw,
+                     least({plen('c_sw', 'c_se')}, {plen('c_sw', 'c_nw')},
+                           {plen('c_sw', 'c_ne')}) AS plen
+              FROM c4),
+        s0 AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon
+               FROM supplier),
+        s1 AS (SELECT id, lat, lon,
+                      {exprs.sql_grid_ix('lon', hb)} AS ix,
+                      {exprs.sql_grid_iy('lat', hb)} AS iy FROM s0),
+        sc AS (SELECT id, lat, lon,
+                      {exprs.sql_interleave('ix', 'iy', hb)} AS cell FROM s1)
+        SELECT o.id AS origin_id, sc.id AS neighbor_id,
+               round({dist}, 6) AS dist_km
+        FROM o JOIN sc
+          ON (sc.cell >> ({bits} - o.plen)) = (o.c_sw >> ({bits} - o.plen))
+        WHERE {dist} <= {r}
     """
 
 
@@ -668,6 +768,12 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,
+        "radius_pairs_prefix": _sql_prefix_pairs(40),
+        "distance_mi_udf": f"""
+            WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                         FROM customer)
+            SELECT id, round({dist_fixed} * 0.621371e0, 6) AS dist_mi FROM pts
+        """,
         "ngram_jaccard": _sql_jaccard_pairs(0.8, same_source=True),
         "minhash_near_dup": _sql_jaccard_pairs(0.8),
         "simhash_near_dup": _sql_jaccard_pairs(0.97),

@@ -193,7 +193,9 @@ def radius_join_pairs_prefix(
         ),
     )
 
-    lens = [r["_pl"] for r in o.select("_pl").distinct().collect()]
+    # bounded driver-side collect: prefix length is in [0, bits] by
+    # construction, <= 41 distinct values; limit() guards the invariant
+    lens = [r["_pl"] for r in o.select("_pl").distinct().limit(bits + 2).collect()]
     parts = []
     for L in sorted(lens):
         o_l = o.where(F.col("_pl") == L)

@@ -1,0 +1,60 @@
+"""Search timing metrics — the set-oriented replacement for the reference's
+per-row ``searchTimerSeconds`` (``SparkDS.scala:71,95-97``; consumed by the
+notebook's avg/median/p75 tuning queries,
+``01_geospatial_searches.scala:208-227``).
+
+The reference times each origin's remote round-trip individually. In a
+set-oriented engine the honest per-row figure is the wall-clock the
+pipeline spent producing that row's Arrow batch, amortized over the batch:
+``mapInPandas`` pulls batches lazily from the upstream operators, so the
+gap between successive batch arrivals in this stage IS the upstream compute
+time (join + refinement + aggregation) attributable to that batch. Values
+are real seconds, vary with data/skew/parallelism, and support the same
+tuning queries as the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _extended(df: DataFrame, *fields: StructField) -> StructType:
+    """Copy of df.schema + new fields (never mutate the cached schema)."""
+    return StructType(list(df.schema.fields) + list(fields))
+
+
+def with_batch_timing(df: DataFrame, col: str = "searchTimerSeconds") -> DataFrame:
+    """Append per-row wall-clock seconds: the elapsed time between
+    successive Arrow batch arrivals in this stage divided by batch rows."""
+    schema = _extended(df, StructField(col, DoubleType()))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        prev = time.perf_counter()
+        for b in batches:
+            now = time.perf_counter()
+            b[col] = (now - prev) / max(len(b), 1)
+            yield b
+            prev = time.perf_counter()
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def search_timer_summary(results: DataFrame,
+                         col: str = "searchTimerSeconds") -> DataFrame:
+    """The reference notebook's tuning aggregates
+    (01_geospatial_searches.scala:208-227): avg / median / p75 of the
+    per-origin search timer, plus row count."""
+    return results.agg(
+        F.count("*").alias("n_origins"),
+        F.avg(col).alias("avg_s"),
+        F.expr(f"percentile({col}, 0.5)").alias("p50_s"),
+        F.expr(f"percentile({col}, 0.75)").alias("p75_s"),
+        F.max(col).alias("max_s"),
+    )

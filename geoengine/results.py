@@ -7,9 +7,12 @@ One row per origin:
                           euclideanDistance: double, ms: string>>
              ordered by distance asc (reference Ordering, GeoSearch.scala:70-71)
   searchSpace: the reference's binary-geohash prefix string (parity render)
-  searchTimerSeconds: per-origin wall clock in the reference (SparkDS.scala:71);
-             meaningless in a set-oriented engine — emitted as 0.0 with real
-             timing in the metrics layer instead (BASELINE.md note).
+  searchTimerSeconds: per-origin wall clock in the reference (SparkDS.scala:71).
+             Emitted as REAL per-row amortized pipeline wall-clock via
+             metrics.with_batch_timing (timing=True, the default — the
+             reference always emits it); timing=False emits 0.0 for
+             deterministic snapshots. The notebook's avg/median/p75 tuning
+             queries run via metrics.search_timer_summary.
 """
 
 from __future__ import annotations
@@ -27,8 +30,13 @@ def assemble_search_results(
     radius: float | None = None,
     bits: int = 40,
     include_search_space: bool = True,
+    timing: bool = True,
 ) -> DataFrame:
-    """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows."""
+    """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows.
+
+    ``timing=True`` stamps real per-origin amortized pipeline wall-clock
+    into searchTimerSeconds (metrics.with_batch_timing); ``False`` emits a
+    deterministic 0.0 (for byte-stable snapshots/oracles)."""
     neigh = F.struct(
         F.struct(
             F.col("neighbor_id").alias("id"),
@@ -68,7 +76,9 @@ def assemble_search_results(
         )
     else:
         out = out.withColumn("searchSpace", F.lit(""))
-    return (
-        out.withColumn("searchTimerSeconds", F.lit(0.0))
-        .drop("_lat", "_lon")
-    )
+    out = out.drop("_lat", "_lon")
+    if timing:
+        from .metrics import with_batch_timing
+
+        return with_batch_timing(out, "searchTimerSeconds")
+    return out.withColumn("searchTimerSeconds", F.lit(0.0))
