@@ -152,6 +152,7 @@ def main() -> None:
     )
 
     # 6) text dedup ops over documents (not scaling headline)
+    quality: dict[str, float] = {}
     if not HEAVY:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         run("dedup_exact", lambda: exact_dedup(docs))
@@ -159,6 +160,25 @@ def main() -> None:
             "minhash_lsh",
             lambda: minhash_near_dup_pairs(docs, jaccard_threshold=0.5),
         )
+
+        # 7) ANN: IVF partial-probe timing + recall@3 vs the exact brute
+        # top-k (quality line: approximation error is part of the contract)
+        from geoengine.similarity import cosine_topk_brute, cosine_topk_ivf
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % 29 == 0)
+        ivf = lambda: cosine_topk_ivf(
+            qs, emb, 3, n_centroids=16, n_probe=4, refine_iters=1
+        )
+        run("embedding_ivf", ivf)
+        exact = set(
+            map(tuple, cosine_topk_brute(qs, emb, 3)
+                .select("query_id", "neighbor_id").collect())
+        )
+        approx = set(
+            map(tuple, ivf().select("query_id", "neighbor_id").collect())
+        )
+        quality["ivf_recall_at_3"] = round(len(exact & approx) / len(exact), 4)
 
     total = round(sum(secs.values()), 3)
     rps = {
@@ -178,6 +198,7 @@ def main() -> None:
                 "cpus": cpus,
                 "rows": rows,
                 "rows_per_sec": rps,
+                "quality": quality,
             }
         )
     )

@@ -32,6 +32,19 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # fork a fresh python worker per task instead of reusing (default
+        # here, overridable via SPARK_GRAFT_WORKER_REUSE=1): at 32
+        # concurrent workers, reused workers left behind by a heavy Arrow
+        # stage (e.g. image mapInPandas) stall the NEXT pandas-UDF stage by
+        # >10x (measured 47s -> 2.9s on the minhash stage); fork from
+        # pyspark.daemon is ~ms, so per-task spawn is cheaper than the
+        # poisoning. On a real cluster with few cores per executor the
+        # default reuse=true is fine — this is a wide-local-mode profile.
+        .config(
+            "spark.python.worker.reuse",
+            "true" if os.environ.get("SPARK_GRAFT_WORKER_REUSE") == "1"
+            else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
