@@ -430,6 +430,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_jaccard_pairs(docs, threshold=0.97, prefilter="simhash")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the documents table: deterministic
+    hashed-TF featurizer (md5-bucket counts, pure Columns — DuckDB twin)
+    -> hyperplane-LSH bucket prefilter (12 planes, 2-bit multiprobe;
+    measured recall 1.0 at the 0.95 threshold on sf0.001 AND sf0.01)
+    -> exact cosine verify on collisions only. Oracle = all-pairs cosine
+    over the same featurizer."""
+    from geoengine.similarity import cosine_near_dup_pairs, hashed_tf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = hashed_tf_vectors(docs)
+    return cosine_near_dup_pairs(vecs, 0.95, id_col="doc", n_planes=12,
+                                 probe_bits=2)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5-prefix int64, pure Column expression
     (oracle: identical DuckDB arithmetic)."""
@@ -547,6 +562,79 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming certification: the events table replayed as a
+    stream (trigger availableNow) through the watermarked 24h-window tile
+    rollup -> memory sink. Spark's 24h windows are unix-epoch aligned, so
+    the oracle recomputes them as floor(epoch/86400)*86400 in DuckDB —
+    the streaming result must equal the batch SQL exactly."""
+    import tempfile
+
+    from geoengine.streaming import streaming_tile_counts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="geoeng_stream_")
+    batch.write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema(batch.schema).parquet(f"{d}/in")
+    pts = datasets.with_point(stream, "event_id", 37, 91)
+    out = streaming_tile_counts(pts, zoom=ROLLUP_ZOOM, window="24 hours",
+                                watermark="48 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geoeng_stream_tiles")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ck")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("geoeng_stream_tiles").select(
+        F.col("window.start").cast("long").alias("win_start"),
+        "tile_x",
+        "tile_y",
+        "n_points",
+    )
+
+
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    certification: per-user running totals with state carried across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per input file).
+    Every update row holds the full running total, so max-per-user of the
+    update stream == the batch GROUP BY — the DuckDB oracle."""
+    import tempfile
+
+    from geoengine.streaming import stateful_user_totals
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="geoeng_totals_")
+    batch.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geoeng_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ck")
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("geoeng_user_totals")
+        .groupBy("key")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 6).alias("sum_value"),
+        )
+        .withColumnRenamed("key", "user_id")
+    )
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -582,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "fingerprint": q_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
@@ -591,6 +680,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_results": q_explode_results,
     "topk_parity": q_topk_parity,
     "record_count": q_record_count,
+    "streaming_tiles": q_streaming_tiles,
+    "streaming_user_totals": q_streaming_user_totals,
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
 }
@@ -737,6 +828,7 @@ def _sql_text_stats() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from geoengine.fixtures import sql_img_cols, sql_video_cols
+    from geoengine.similarity import sql_hashed_tf
 
     img = sql_img_cols("i")
     vid = sql_video_cols("i")
@@ -768,6 +860,18 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,
+        "embedding_near_dup": f"""
+            WITH v AS ({sql_hashed_tf()}),
+            p AS (
+              SELECT a.doc AS doc1, b.doc AS doc2,
+                     {dot_qe.replace('q.embedding', 'a.embedding').replace('e.embedding', 'b.embedding')}
+                     / ({sq_norm.format(v='a.embedding')}
+                        * {sq_norm.format(v='b.embedding')}) AS cosine
+              FROM v a JOIN v b ON a.doc < b.doc
+            )
+            SELECT doc1, doc2, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.95e0
+        """,
         "radius_pairs_prefix": _sql_prefix_pairs(40),
         "distance_mi_udf": f"""
             WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
@@ -872,6 +976,23 @@ def oracle_sql() -> dict[str, str]:
         "record_count": """
             SELECT (SELECT count(*) FROM customer) AS n_origins,
                    (SELECT count(*) FROM supplier) AS n_neighbors
+        """,
+        "streaming_user_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "streaming_tiles": f"""
+            WITH pts AS (SELECT CAST(floor(epoch(ts) / 86400.0e0) * 86400
+                                     AS BIGINT) AS win_start,
+                                {_E_LAT} AS lat, {_E_LON} AS lon
+                         FROM (SELECT ts, event_id FROM events))
+            SELECT win_start,
+                   {exprs.sql_tile_x('lon', ROLLUP_ZOOM)} AS tile_x,
+                   {exprs.sql_tile_y('lat', ROLLUP_ZOOM)} AS tile_y,
+                   count(*) AS n_points
+            FROM pts
+            GROUP BY 1, 2, 3
         """,
         "radius_pairs": _SQL_PAIRS,
         "radius_counts": f"""

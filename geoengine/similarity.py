@@ -176,6 +176,108 @@ def cosine_topk_ivf(
     )
 
 
+def hashed_tf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic document -> dense TF embedding (id, embedding):
+    every whitespace token lands in bucket md5-prefix % dim and
+    embedding[k] = count of tokens in bucket k. Pure Column expressions
+    (explode + one groupBy with dim conditional sums, whole-stage codegen,
+    no UDF) with an exact DuckDB twin (sql_hashed_tf) — the featurizer both
+    engines share for the embedding-cosine near-dup oracle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % dim
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).withColumn("_b", bucket)
+    return toks.groupBy("doc").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("_b") == k, 1).otherwise(0))
+                .cast("double")
+                for k in range(dim)
+            ]
+        ).alias("embedding")
+    )
+
+
+def sql_hashed_tf(dim: int = 64, id_col: str = "doc_id",
+                  text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of hashed_tf_vectors (same md5-bucket, same counts)."""
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+        for k in range(dim)
+    )
+    return f"""
+        SELECT doc, [{sums}] AS embedding FROM (
+          SELECT {id_col} AS doc,
+                 CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % {dim} AS b
+          FROM {table}, unnest(string_split({text_col}, ' ')) AS t(tok)
+        ) GROUP BY doc
+    """
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    probe_bits: int = 1,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1 < id2, cosine >= t).
+
+    Scale path: random-hyperplane sign buckets on both sides; the left side
+    multi-probes its bucket plus all single-bit flips, so any pair whose
+    sign patterns differ in <= probe_bits planes collides — near-identical
+    vectors (the near-dup regime) almost never disagree on a hyperplane.
+    The exact cosine (zip_with/aggregate Columns, JVM codegen) runs only on
+    colliding pairs; no all-pairs join ever materializes. Recall at the
+    certification threshold is measured (tests + oracle gate), like the
+    SimHash block prefilter."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    sig = make_hyperplane_sig_udf(dim, n_planes, seed)
+    base = vectors.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+    ).withColumn("bucket0", sig(F.col("v")))
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = F.array(*[F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks])
+    l = (
+        base.withColumn("bucket", F.explode(probes))
+        .select(F.col("doc").alias("doc1"), F.col("v").alias("v1"), "bucket")
+    )
+    r = base.select(
+        F.col("doc").alias("doc2"), F.col("v").alias("v2"),
+        F.col("bucket0").alias("bucket"),
+    )
+    sim = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
+    return (
+        l.join(r, "bucket")
+        .where(F.col("doc1") < F.col("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= threshold)
+        .select("doc1", "doc2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -9,6 +9,9 @@ trigger(availableNow=True) over parquet input — no live source needed.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +41,100 @@ def streaming_tile_counts(
             exprs.tile_y(F.col(lat_col), zoom).alias("tile_y"),
         )
         .agg(F.count("*").alias("n_points"))
+    )
+
+
+def stateful_user_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (event count, value sum) persisted in state across micro-batches,
+    emitted in update mode after every batch. Because each emitted row
+    carries the FULL running total, the last row per key equals the batch
+    aggregate — that equality is the driver-gate certification
+    (`streaming_user_totals` vs a plain GROUP BY oracle)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, s = tuple(state.get) if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType="key long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionize_gap(
+    stream: DataFrame,
+    gap_minutes: float = 30.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization via ``applyInPandasWithState``: a session
+    CLOSES when the next event of the same key arrives more than
+    ``gap_minutes`` after the previous one. State carries the open
+    session's (start, last, n); closed sessions are emitted as rows
+    (append semantics). The trailing open session per key stays in state —
+    in a finite replay it is never emitted, and the pytest twin excludes
+    each key's last batch-computed session accordingly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        # the group's rows may arrive chunked and unordered: gather, then
+        # sort once (event-time order within this invocation)
+        chunks = [
+            pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9 for pdf in pdfs
+        ]
+        ts_all = pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype=float)
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((float(start), float(last), int(n)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "key long, session_start double, session_end double, "
+                "n_events long"
+            ),
+            stateStructType="start double, last double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -73,6 +73,59 @@ def test_ivf_full_probe_is_exact(spark):
     assert e == f
 
 
+def test_cosine_near_dup_guarantees(spark):
+    # LSH prefilter + exact verify: (a) NO false positives ever (the exact
+    # cosine runs on every emitted pair), (b) exact-duplicate vectors are
+    # always found (identical sign pattern -> same base bucket), (c) recall
+    # on a clustered population is high (pairs straddling >2 hyperplanes
+    # can be missed by design — the certified-recall-1.0 regime is measured
+    # per-corpus, as the driver query does for documents).
+    df, m = _clustered_vecs(spark, 300, n_clusters=40, seed=53)
+    # append exact duplicates of the first 10 vectors
+    import pandas as pd_
+
+    dup = pd_.DataFrame(
+        {"vec_id": range(1000, 1010), "embedding": list(map(list, m[:10]))}
+    )
+    df = df.unionByName(spark.createDataFrame(dup))
+    md = np.vstack([m.astype(np.float64), m[:10].astype(np.float64)])
+    ids = list(range(300)) + list(range(1000, 1010))
+    n = np.linalg.norm(md, axis=1, keepdims=True)
+    sims = (md @ md.T) / (n * n.T)
+    iu = np.triu_indices(len(md), 1)
+    want = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(*iu)
+        if sims[i, j] >= 0.95
+    }
+    got = set(
+        map(
+            tuple,
+            similarity.cosine_near_dup_pairs(df, 0.95, n_planes=12, probe_bits=2)
+            .select("doc1", "doc2")
+            .collect(),
+        )
+    )
+    assert got <= want  # exact verify: no false positives
+    for k in range(10):
+        assert (k, 1000 + k) in got  # exact dups always collide
+    assert len(got) / len(want) >= 0.9  # high recall on clusters
+
+
+def test_hashed_tf_vectors_deterministic(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a", "a b a"]})
+    )
+    out = similarity.hashed_tf_vectors(docs).toPandas()
+    v1, v2 = out.sort_values("doc")["embedding"].tolist()
+    assert list(v1) == list(v2)
+    assert sum(v1) == 3.0  # three tokens
+    bucket_a = int(hashlib.md5(b"a").hexdigest()[:8], 16) % 64
+    assert v1[bucket_a] == 2.0  # 'a' twice
+
+
 def test_lsh_recall_reasonable(spark):
     df, m = _clustered_vecs(spark, 400)
     k = 3

@@ -1,11 +1,17 @@
-"""Streaming tile rollup == batch rollup on the same input (availableNow)."""
+"""Streaming tile rollup == batch rollup on the same input (availableNow);
+stateful operators (applyInPandasWithState) == batch twins."""
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from geoengine import exprs
-from geoengine.streaming import streaming_tile_counts
+from geoengine.streaming import (
+    sessionize_gap,
+    stateful_user_totals,
+    streaming_tile_counts,
+)
 
 
 def test_streaming_tile_counts_matches_batch(spark, sf_dir, tmp_path):
@@ -51,3 +57,108 @@ def test_streaming_tile_counts_matches_batch(spark, sf_dir, tmp_path):
     g = {(r.tile_x, r.tile_y): r.n for r in got.itertuples()}
     w = {(r.tile_x, r.tile_y): r.n for r in want.itertuples()}
     assert g == w and len(w) > 0
+
+
+def _events_stream(spark, sf_dir, tmp_path, files=4, time_ordered=False):
+    """Replay the events table as a file stream, one micro-batch per file.
+    time_ordered=True range-partitions by ts so micro-batches arrive in
+    event-time order (the arrival contract sessionization assumes; totals
+    are order-insensitive and use the adversarial hash split)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "ev_in"
+    part = (
+        batch.repartitionByRange(files, "ts")
+        if time_ordered
+        else batch.repartition(files)
+    )
+    part.write.mode("overwrite").parquet(str(d))
+    if time_ordered:
+        # FileStreamSource orders batches by file MTIME, not path: stagger
+        # mtimes along the range-partition order so micro-batches arrive in
+        # event-time order (the arrival contract sessionization assumes)
+        import glob
+        import time as _t
+
+        now = _t.time()
+        for i, f in enumerate(sorted(glob.glob(str(d / "part-*")))):
+            os.utime(f, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)  # force state across micro-batches
+        .parquet(str(d))
+    )
+    return batch, stream
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_dir, tmp_path):
+    batch, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.awaitTermination(180)
+    upd = spark.table("t_user_totals").toPandas()
+    # multiple micro-batches -> more update rows than keys (state carried)
+    assert len(upd) > upd["key"].nunique()
+    final = upd.loc[upd.groupby("key")["n_events"].idxmax()].set_index("key")
+    want = (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert final["n_events"].sort_index().tolist() == want["n"].sort_index().tolist()
+    assert (
+        (final["sum_value"].sort_index() - want["s"].sort_index()).abs() < 1e-6
+    ).all()
+
+
+def test_sessionize_gap_equals_batch_twin(spark, sf_dir, tmp_path):
+    batch, stream = _events_stream(spark, sf_dir, tmp_path, time_ordered=True)
+    q = (
+        sessionize_gap(stream, gap_minutes=30.0)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_sessions").toPandas()
+    got_set = {
+        (int(r.key), round(r.session_start, 3), round(r.session_end, 3), int(r.n_events))
+        for r in got.itertuples()
+    }
+
+    # batch twin: gap > 30min starts a new session (lag + cumsum window)
+    w = Window.partitionBy("user_id").orderBy("tsl")
+    sess = (
+        batch.withColumn("tsl", F.col("ts").cast("timestamp").cast("double"))
+        .withColumn("prev", F.lag("tsl").over(w))
+        .withColumn(
+            "brk", (F.col("prev").isNull() | (F.col("tsl") - F.col("prev") > 1800.0)).cast("int")
+        )
+        .withColumn("sid", F.sum("brk").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("tsl").alias("session_start"),
+            F.max("tsl").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    ).toPandas()
+    # the trailing (still-open) session per user is never emitted by the
+    # stream; drop each user's last session from the batch twin
+    last = sess.groupby("user_id")["sid"].transform("max")
+    closed = sess[sess["sid"] != last]
+    want_set = {
+        (int(r.user_id), round(r.session_start, 3), round(r.session_end, 3), int(r.n_events))
+        for r in closed.itertuples()
+    }
+    assert got_set == want_set
+    assert len(want_set) > 0
