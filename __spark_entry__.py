@@ -433,16 +433,17 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the documents table: deterministic
     hashed-TF featurizer (md5-bucket counts, pure Columns — DuckDB twin)
-    -> hyperplane-LSH bucket prefilter (12 planes, 2-bit multiprobe;
-    measured recall 1.0 at the 0.95 threshold on sf0.001 AND sf0.01)
-    -> exact cosine verify on collisions only. Oracle = all-pairs cosine
-    over the same featurizer."""
-    from geoengine.similarity import cosine_near_dup_pairs, hashed_tf_vectors
+    -> PROVABLY complete inverted-index prefilter (cosine >= t forces a
+    shared dim with both normalized weights >= t/dim, so recall is 1.0 by
+    mathematics at EVERY scale — no measured-recall caveat) -> exact
+    cosine verify on collisions. Oracle = all-pairs cosine over the same
+    featurizer. The hyperplane-LSH variant (cosine_near_dup_pairs) is the
+    approximate fast path, covered by pytest recall tests."""
+    from geoengine.similarity import cosine_near_dup_exact, hashed_tf_vectors
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vecs = hashed_tf_vectors(docs)
-    return cosine_near_dup_pairs(vecs, 0.95, id_col="doc", n_planes=12,
-                                 probe_bits=2)
+    return cosine_near_dup_exact(vecs, 0.95, id_col="doc", dim=64)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,27 +569,19 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup -> memory sink. Spark's 24h windows are unix-epoch aligned, so
     the oracle recomputes them as floor(epoch/86400)*86400 in DuckDB —
     the streaming result must equal the batch SQL exactly."""
-    import tempfile
-
-    from geoengine.streaming import streaming_tile_counts
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_tile_counts,
+    )
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    d = tempfile.mkdtemp(prefix="geoeng_stream_")
-    batch.write.mode("overwrite").parquet(f"{d}/in")
-    stream = spark.readStream.schema(batch.schema).parquet(f"{d}/in")
+    stream, d = replay_parquet_stream(spark, batch, n_files=4)
     pts = datasets.with_point(stream, "event_id", 37, 91)
     out = streaming_tile_counts(pts, zoom=ROLLUP_ZOOM, window="24 hours",
                                 watermark="48 hours")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("geoeng_stream_tiles")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{d}/ck")
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table("geoeng_stream_tiles").select(
+    table = run_stream_to_memory(out, "geoeng_stream_tiles", "complete", d)
+    return table.select(
         F.col("window.start").cast("long").alias("win_start"),
         "tile_x",
         "tile_y",
@@ -602,30 +595,18 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (maxFilesPerTrigger=1 forces one batch per input file).
     Every update row holds the full running total, so max-per-user of the
     update stream == the batch GROUP BY — the DuckDB oracle."""
-    import tempfile
-
-    from geoengine.streaming import stateful_user_totals
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        stateful_user_totals,
+    )
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    d = tempfile.mkdtemp(prefix="geoeng_totals_")
-    batch.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{d}/in")
-    )
+    stream, d = replay_parquet_stream(spark, batch, n_files=4)
     out = stateful_user_totals(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("geoeng_user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{d}/ck")
-        .start()
-    )
-    q.awaitTermination(300)
+    table = run_stream_to_memory(out, "geoeng_user_totals", "update", d)
     return (
-        spark.table("geoeng_user_totals")
+        table
         .groupBy("key")
         .agg(
             F.max("n_events").alias("n_events"),

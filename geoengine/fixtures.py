@@ -30,15 +30,6 @@ IMAGE_SCHEMA = (
 )
 
 
-def fnv1a64(s: str) -> int:
-    """FNV-1a 64-bit (FIXTURES.md §3) — implementable identically anywhere."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 # image placement / metadata derived from the integer index with pure
 # arithmetic so a SQL oracle (DuckDB range()) can reproduce it exactly
 IMG_LAT_MULT, IMG_LON_MULT = 9973, 7919

@@ -230,8 +230,15 @@ def knn_join(
     rows, size = _plan_stats(neighbors)
     if rows is None and size is None:
         rows = neighbors.count()
-    small = (rows is not None and rows <= broadcast_threshold_rows) if rows is not None \
-        else (size is not None and size <= broadcast_threshold_bytes)
+    small = (
+        rows <= broadcast_threshold_rows
+        if rows is not None
+        else size <= broadcast_threshold_bytes
+    )
     if small:
         return knn_join_brute(origins, neighbors, k)
+    # forward the estimate so rings doesn't redo the stats round-trip
+    kw.setdefault(
+        "neighbor_count", rows if rows is not None else max(size // 48, 1)
+    )
     return knn_join_rings(origins, neighbors, k, **kw)

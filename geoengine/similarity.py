@@ -223,6 +223,72 @@ def sql_hashed_tf(dim: int = 64, id_col: str = "doc_id",
     """
 
 
+def cosine_near_dup_exact(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a PROVABLY complete prefilter.
+
+    For unit-normalized nonnegative vectors a, b with cosine(a,b) >= t,
+    at least one dimension i has a_i * b_i >= t/dim, which (each factor
+    <= 1) forces BOTH normalized weights >= t/dim. So the inverted-index
+    bucket join on dims where weight >= t/dim can never drop a qualifying
+    pair — recall is 1.0 by mathematics at every scale, unlike any LSH
+    configuration (this is the candidate rule behind classic exact
+    similarity joins). The exact cosine then verifies each collision.
+
+    A tighter still-complete cutoff: contributions from dims where either
+    side's weight < delta total at most 2*delta*sqrt(dim) (Cauchy-Schwarz:
+    sum of unit-vector coords <= sqrt(dim)), so with
+    delta = t / (2*sqrt(dim)) a qualifying pair must share a dim where
+    BOTH weights >= delta. The candidate join ships only (doc, dim) pairs;
+    the vectors are joined back after pair-level dedup, so the wide arrays
+    never ride the exploded shuffle.
+
+    Pruning power scales with sparsity: for real TF/embedding data
+    (vocab-sized dims, few nonzeros) the bucket join is tiny; for dense
+    low-dim vectors it degrades toward all-pairs and the LSH path
+    (cosine_near_dup_pairs) is the pragmatic choice with measured recall.
+    """
+    import math
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    # complete for any delta < t/(2*sqrt(d)); back off 1e-9 for the
+    # boundary where the weak-dim bound is tight
+    cut = threshold / (2.0 * math.sqrt(dim)) * (1.0 - 1e-9)
+    v = vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    v = v.withColumn("_nrm", _norm("v"))
+    unit = F.expr("transform(v, x -> CAST(x AS DOUBLE) / _nrm)")
+    buckets = (
+        v.withColumn("_u", unit)
+        .select("doc", F.posexplode("_u").alias("d", "w"))
+        .where(F.col("w") >= cut)
+        .select("doc", "d")
+    )
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), "d")
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    sim = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
+    vv = v.select("doc", "v")
+    return (
+        cand.join(vv.select(F.col("doc").alias("doc1"),
+                            F.col("v").alias("v1")), "doc1")
+        .join(vv.select(F.col("doc").alias("doc2"),
+                        F.col("v").alias("v2")), "doc2")
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= threshold)
+        .select("doc1", "doc2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

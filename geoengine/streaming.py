@@ -44,6 +44,65 @@ def streaming_tile_counts(
     )
 
 
+def replay_parquet_stream(spark, df: DataFrame, n_files: int = 4,
+                          order_col: str | None = None):
+    """Replay a batch DataFrame as a file stream, one micro-batch per file
+    (maxFilesPerTrigger=1). ``order_col`` range-partitions AND staggers file
+    mtimes so micro-batches arrive in that column's order — the arrival
+    contract order-sensitive stateful ops (sessionization) assume;
+    FileStreamSource orders batches by file MTIME, not path. Returns
+    (stream_df, tmpdir); pass the tmpdir to run_stream_to_memory for
+    cleanup."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp(prefix="geoeng_replay_")
+    part = (
+        df.repartitionByRange(n_files, order_col)
+        if order_col
+        else df.repartition(n_files)
+    )
+    part.write.mode("overwrite").parquet(f"{d}/in")
+    if order_col:
+        now = time.time()
+        for i, f in enumerate(sorted(glob.glob(f"{d}/in/part-*"))):
+            os.utime(f, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    return stream, d
+
+
+def run_stream_to_memory(out: DataFrame, name: str, output_mode: str,
+                         tmpdir: str, timeout_s: int = 600) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with availableNow,
+    FAILING loudly on timeout (a silent partial table would masquerade as
+    a correctness bug), then remove the replay dir + checkpoint (the
+    memory sink holds the results)."""
+    import shutil
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
+    result = out.sparkSession.table(name)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return result
+
+
 def stateful_user_totals(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -475,6 +475,16 @@ def lsh_verified_jaccard_pairs(
     the quadratic exact test runs only on bucket collisions. At gate scale
     the band/block parameters are tuned for recall 1.0, so the result
     equals the all-pairs computation and is DuckDB-oracle-checkable.
+
+    Banding S-curve (tune per corpus/threshold): P(collide) =
+    1 - (1 - j^rows)^bands with rows = num_hashes/bands. The default
+    (64 hashes, 32 bands of 2) has its knee near j~0.18 — recall at
+    j>=0.8 is 1 - 3e-15 (that certainty is why the oracle can demand
+    exactness), at the price of admitting candidates down to j~0.2.
+    On a corpus where sub-threshold cross-similarity is common, raise
+    rows (e.g. 16 bands of 4: knee ~0.5, miss at j=0.8 ~2e-4 — no longer
+    oracle-exact, but a far tighter prefilter). Recall belongs to banding,
+    precision to the exact verify.
     """
     if prefilter == "minhash":
         cand = _minhash_band_candidates(

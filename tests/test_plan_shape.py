@@ -52,3 +52,50 @@ def test_tile_plan_wholestage_codegen(spark, sf_dir):
     p = _plan(spark, tiles, "simple")
     assert "*(1)" in p  # whole-stage-codegen span marker
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_lsh_verified_dedup_no_cartesian(spark, sf_dir):
+    """The dedup scale path must candidate-join on (band, bucket) — never a
+    cartesian — and the exact verify must be JVM array intrinsics."""
+    from geoengine.text import lsh_verified_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_verified_jaccard_pairs(docs, threshold=0.8)
+    p = _plan(spark, pairs)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # exact Jaccard rides Columns (array_intersect), not a Python stage
+    assert "array_intersect" in p
+
+
+def test_cosine_near_dup_no_cartesian(spark, sf_dir):
+    from geoengine.similarity import (
+        cosine_near_dup_exact,
+        cosine_near_dup_pairs,
+        hashed_tf_vectors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for pairs in (
+        cosine_near_dup_pairs(
+            hashed_tf_vectors(docs), 0.95, id_col="doc", dim=64,
+            n_planes=12, probe_bits=2,
+        ),
+        cosine_near_dup_exact(hashed_tf_vectors(docs), 0.95, id_col="doc",
+                              dim=64),
+    ):
+        p = _plan(spark, pairs)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_featurizer_plan_is_jvm_only(spark, sf_dir):
+    """hashed_tf_vectors must be pure codegen: explode + one hash aggregate,
+    no Python eval nodes anywhere."""
+    from geoengine.similarity import hashed_tf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(spark, hashed_tf_vectors(docs))
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in p
+    assert "HashAggregate" in p

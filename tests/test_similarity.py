@@ -112,6 +112,47 @@ def test_cosine_near_dup_guarantees(spark):
     assert len(got) / len(want) >= 0.9  # high recall on clusters
 
 
+def test_cosine_near_dup_exact_equals_bruteforce(spark):
+    # the inverted-index prefilter is COMPLETE by construction, so the
+    # result must equal brute force exactly — including the boundary
+    # cluster geometry that defeats the LSH variant
+    # nonnegative TF-like clusters (the completeness proof assumes
+    # nonnegative vectors): positive centers + small additive noise
+    rng = np.random.default_rng(57)
+    centers = rng.uniform(0.1, 1.0, (40, 32))
+    idx = rng.integers(0, 40, 300)
+    md = centers[idx] + 0.02 * rng.uniform(0.0, 1.0, (300, 32))
+    import pandas as pd_
+
+    df = spark.createDataFrame(
+        pd_.DataFrame(
+            {
+                "vec_id": range(len(md)),
+                "embedding": list(map(list, md.astype(np.float32))),
+            }
+        )
+    )
+    md32 = md.astype(np.float32).astype(np.float64)
+    n = np.linalg.norm(md32, axis=1, keepdims=True)
+    sims = (md32 @ md32.T) / (n * n.T)
+    iu = np.triu_indices(len(md), 1)
+    want = {
+        (int(min(i, j)), int(max(i, j)))
+        for i, j in zip(*iu)
+        if sims[i, j] >= 0.999
+    }
+    got = set(
+        map(
+            tuple,
+            similarity.cosine_near_dup_exact(df, 0.999, dim=32)
+            .select("doc1", "doc2")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(want) > 50
+
+
 def test_hashed_tf_vectors_deterministic(spark):
     import hashlib
 

@@ -61,48 +61,25 @@ def test_streaming_tile_counts_matches_batch(spark, sf_dir, tmp_path):
 
 def _events_stream(spark, sf_dir, tmp_path, files=4, time_ordered=False):
     """Replay the events table as a file stream, one micro-batch per file.
-    time_ordered=True range-partitions by ts so micro-batches arrive in
-    event-time order (the arrival contract sessionization assumes; totals
-    are order-insensitive and use the adversarial hash split)."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    d = tmp_path / "ev_in"
-    part = (
-        batch.repartitionByRange(files, "ts")
-        if time_ordered
-        else batch.repartition(files)
-    )
-    part.write.mode("overwrite").parquet(str(d))
-    if time_ordered:
-        # FileStreamSource orders batches by file MTIME, not path: stagger
-        # mtimes along the range-partition order so micro-batches arrive in
-        # event-time order (the arrival contract sessionization assumes)
-        import glob
-        import time as _t
+    time_ordered=True delivers micro-batches in event-time order (the
+    arrival contract sessionization assumes; totals are order-insensitive
+    and use the adversarial hash split)."""
+    from geoengine.streaming import replay_parquet_stream
 
-        now = _t.time()
-        for i, f in enumerate(sorted(glob.glob(str(d / "part-*")))):
-            os.utime(f, (now + i * 10, now + i * 10))
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)  # force state across micro-batches
-        .parquet(str(d))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream, d = replay_parquet_stream(
+        spark, batch, n_files=files, order_col="ts" if time_ordered else None
     )
-    return batch, stream
+    return batch, stream, d
 
 
 def test_stateful_user_totals_equals_batch(spark, sf_dir, tmp_path):
-    batch, stream = _events_stream(spark, sf_dir, tmp_path)
-    q = (
-        stateful_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName("t_user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ck1"))
-        .start()
-    )
-    q.awaitTermination(180)
-    upd = spark.table("t_user_totals").toPandas()
+    from geoengine.streaming import run_stream_to_memory
+
+    batch, stream, d = _events_stream(spark, sf_dir, tmp_path)
+    upd = run_stream_to_memory(
+        stateful_user_totals(stream), "t_user_totals", "update", d
+    ).toPandas()
     # multiple micro-batches -> more update rows than keys (state carried)
     assert len(upd) > upd["key"].nunique()
     final = upd.loc[upd.groupby("key")["n_events"].idxmax()].set_index("key")
@@ -119,18 +96,12 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_sessionize_gap_equals_batch_twin(spark, sf_dir, tmp_path):
-    batch, stream = _events_stream(spark, sf_dir, tmp_path, time_ordered=True)
-    q = (
-        sessionize_gap(stream, gap_minutes=30.0)
-        .writeStream.format("memory")
-        .queryName("t_sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ck2"))
-        .start()
-    )
-    q.awaitTermination(180)
-    got = spark.table("t_sessions").toPandas()
+    from geoengine.streaming import run_stream_to_memory
+
+    batch, stream, d = _events_stream(spark, sf_dir, tmp_path, time_ordered=True)
+    got = run_stream_to_memory(
+        sessionize_gap(stream, gap_minutes=30.0), "t_sessions", "append", d
+    ).toPandas()
     got_set = {
         (int(r.key), round(r.session_start, 3), round(r.session_end, 3), int(r.n_events))
         for r in got.itertuples()
