@@ -563,6 +563,23 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload processing: parse the events JSON props
+    column (get_json_object, JVM-side) and aggregate by the extracted key
+    — the JSON-source surface of the engine, certified vs DuckDB's JSON
+    functions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming certification: the events table replayed as a
     stream (trigger availableNow) through the watermarked 24h-window tile
@@ -663,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_count": q_record_count,
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
+    "json_props": q_json_props,
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
 }
@@ -957,6 +975,11 @@ def oracle_sql() -> dict[str, str]:
         "record_count": """
             SELECT (SELECT count(*) FROM customer) AS n_origins,
                    (SELECT count(*) FROM supplier) AS n_neighbors
+        """,
+        "json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1
         """,
         "streaming_user_totals": """
             SELECT user_id, count(*) AS n_events,

@@ -37,8 +37,13 @@ def search(
     half_bits: int | None = None,
     strategy: str = "auto",
     include_search_space: bool = True,
+    timing: bool = True,
 ) -> DataFrame:
-    """Radius-neighborhood search -> nested SearchResult rows."""
+    """Radius-neighborhood search -> nested SearchResult rows.
+
+    ``timing=True`` (parity: the reference always emits searchTimerSeconds)
+    stamps real per-origin amortized wall-clock; False emits 0.0 for
+    byte-deterministic output."""
     o = coerce_points(origins)
     nb = coerce_points(neighbors)
     pairs = radius_join_pairs(
@@ -46,7 +51,8 @@ def search(
     )
     top = top_n_per_origin(pairs, max_results, parity_topn=parity_topn)
     return assemble_search_results(
-        top, unit=unit, radius=radius, include_search_space=include_search_space
+        top, unit=unit, radius=radius,
+        include_search_space=include_search_space, timing=timing,
     )
 
 
