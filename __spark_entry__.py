@@ -563,6 +563,24 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload feature extraction certified per row: the fixture's
+    constant-amplitude square waves make RMS == peak == A and duration
+    index-derived arithmetic, so DuckDB reproduces every value exactly
+    (the kernel itself decodes raw PCM bytes through mapInPandas)."""
+    from geoengine.fixtures import audio_table
+    from geoengine.images import audio_features
+
+    aud = audio_table(spark, 300, partitions=4)
+    out = audio_features(aud)
+    return out.select(
+        "audio_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload processing: parse the events JSON props
     column (get_json_object, JVM-side) and aggregate by the extracted key
@@ -681,6 +699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     "json_props": q_json_props,
+    "audio_features": q_audio_features,
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
 }
@@ -826,8 +845,10 @@ def _sql_text_stats() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from geoengine.fixtures import sql_img_cols, sql_video_cols
+    from geoengine.fixtures import sql_audio_cols, sql_img_cols, sql_video_cols
     from geoengine.similarity import sql_hashed_tf
+
+    aud = sql_audio_cols("i")
 
     img = sql_img_cols("i")
     vid = sql_video_cols("i")
@@ -975,6 +996,13 @@ def oracle_sql() -> dict[str, str]:
         "record_count": """
             SELECT (SELECT count(*) FROM customer) AS n_origins,
                    (SELECT count(*) FROM supplier) AS n_neighbors
+        """,
+        "audio_features": f"""
+            SELECT {aud['audio_id']} AS audio_id,
+                   round({aud['duration_s']}, 6) AS duration_s,
+                   round({aud['rms']}, 6) AS rms,
+                   {aud['peak']} AS peak
+            FROM range(0, 300) t(i)
         """,
         "json_props": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

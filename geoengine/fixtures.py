@@ -157,6 +157,45 @@ def sql_video_cols(i: str = "i") -> dict[str, str]:
     }
 
 
+AUDIO_SCHEMA = "audio_id string, bytes binary"
+AUDIO_RATE = 16000
+
+
+def audio_table(spark: SparkSession, n: int,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic mono int16 PCM payloads: row i is a constant-amplitude
+    square wave (+A, -A alternating) with A = 1000 + (i*37) % 20000 and
+    n_samples = 4000 * (1 + i % 8). RMS == peak == A and duration ==
+    n_samples/16000 EXACTLY, all index-derived arithmetic — so a DuckDB
+    range() oracle certifies the audio feature kernel end to end."""
+    base = spark.range(0, n, 1, partitions or 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in (int(x) for x in b["id"]):
+                amp = 1000 + (i * 37) % 20000
+                ns = 4000 * (1 + i % 8)
+                pcm = np.full(ns, amp, dtype=np.int16)
+                pcm[1::2] *= -1
+                rows.append({"audio_id": f"aud{i:010d}", "bytes": pcm.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def sql_audio_cols(i: str = "i") -> dict[str, str]:
+    """DuckDB twins of the index-derived audio feature values."""
+    amp = f"(1000 + ({i} * 37) % 20000)"
+    ns = f"(4000 * (1 + {i} % 8))"
+    return {
+        "audio_id": f"printf('aud%010d', {i})",
+        "duration_s": f"({ns} / {float(AUDIO_RATE)!r}e0)",
+        "rms": f"CAST({amp} AS DOUBLE)",
+        "peak": f"CAST({amp} AS BIGINT)",
+    }
+
+
 def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42) -> DataFrame:
     """Seeded convex + star-concave polygons (FIXTURES.md §4)."""
     rng = np.random.default_rng(seed)
