@@ -71,3 +71,50 @@ def test_disabled_reference_e2e_distances():
     dc = geodesy.dist_law_of_cosines_km(11, 11, 55, -55)
     dd = geodesy.dist_law_of_cosines_km(11, 11, -55.1, 50.1)
     assert dc > radius_km and dd > radius_km  # c, d excluded
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis) — numpy kernels, no Spark session
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lat = st.floats(-89.9, 89.9, allow_nan=False)
+_lon = st.floats(-180.0, 180.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lat, _lon, _lat, _lon)
+def test_distance_symmetric_and_bounded(lat1, lon1, lat2, lon2):
+    from geoengine import geodesy
+
+    d_ab = float(geodesy.dist_law_of_cosines_km(lat1, lon1, lat2, lon2))
+    d_ba = float(geodesy.dist_law_of_cosines_km(lat2, lon2, lat1, lon1))
+    assert abs(d_ab - d_ba) < 1e-6
+    assert 0.0 <= d_ab <= np.pi * geodesy.EARTH_RADIUS_KM + 1e-6
+    d_self = float(geodesy.dist_law_of_cosines_km(lat1, lon1, lat1, lon1))
+    assert d_self < 1e-3  # acos clamp keeps self-distance ~0
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lat, _lon, st.floats(0.1, 2000.0, allow_nan=False))
+def test_bbox_contains_center_and_orders(lat, lon, r_km):
+    from geoengine import geodesy
+
+    lat_min, lat_max, lon_min, lon_max = geodesy.bounding_box(lat, lon, r_km)
+    assert lat_min < lat < lat_max
+    # reference semantics: no clamping; lon offsets at SHIFTED latitudes may
+    # blow past +-180 near poles — but ordering around the center must hold
+    # whenever the shifted-latitude cosines stay positive
+    if abs(lat_min) < 90 and abs(lat_max) < 90:
+        assert lon_min < lon < lon_max
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0.1, 5000.0), st.sampled_from(["km", "miles", "Mi", "K"]))
+def test_unit_roundtrip(val, unit):
+    from geoengine import geodesy
+
+    assert abs(geodesy.from_km(geodesy.to_km(val, unit), unit) - val) < val * 1e-4

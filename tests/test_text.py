@@ -120,3 +120,33 @@ def test_ngram_jaccard_exact_pairs(spark):
     pairs = text.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
     got = set(zip(pairs["doc1"], pairs["doc2"]))
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis) — signature kernels, no Spark
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="abcdefg h", min_size=0, max_size=60), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_texts)
+def test_simhash_batch_deterministic_and_batch_invariant(texts):
+    # batching must not change values: computing one-by-one == all-at-once
+    whole = text.simhash_batch(texts)
+    singles = np.array([text.simhash_batch([t])[0] for t in texts])
+    assert (whole == singles).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcde fg", min_size=5, max_size=80))
+def test_shingles_invariant_under_duplication(t):
+    # shingle SET of t+t (overlap-joined) is a superset of t's; identical
+    # text always yields identical simhash
+    a = text.simhash_batch([t, t])
+    assert a[0] == a[1]
