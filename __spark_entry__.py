@@ -207,10 +207,10 @@ def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat_max = exprs.lat_plus_km(la, 100.0)
     return pts.select(
         "id",
-        F.round(lat_min, 9).alias("lat_min"),
-        F.round(lat_max, 9).alias("lat_max"),
-        F.round(exprs.lon_plus_km(lat_min, lo, -100.0), 9).alias("lon_min"),
-        F.round(exprs.lon_plus_km(lat_max, lo, 100.0), 9).alias("lon_max"),
+        F.round(lat_min, 6).alias("lat_min"),
+        F.round(lat_max, 6).alias("lat_max"),
+        F.round(exprs.lon_plus_km(lat_min, lo, -100.0), 6).alias("lon_min"),
+        F.round(exprs.lon_plus_km(lat_max, lo, 100.0), 6).alias("lon_max"),
     )
 
 
@@ -255,15 +255,12 @@ def q_median_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over documents (hash-groupBy)."""
+    """Exact dedup over documents (hash-groupBy) — the engine operator,
+    re-aliased to the oracle column name."""
+    from geoengine.text import exact_dedup
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min("doc_id").alias("min_doc_id"),
-        )
-    )
+    return exact_dedup(docs).withColumnRenamed("keep_id", "min_doc_id")
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,10 +1074,10 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon
                          FROM supplier)
             SELECT id,
-                   round({exprs.sql_lat_plus_km('lat', '-100.0e0')}, 9) AS lat_min,
-                   round({exprs.sql_lat_plus_km('lat', '100.0e0')}, 9) AS lat_max,
-                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '-100.0e0'), 'lon', '-100.0e0')}, 9) AS lon_min,
-                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '100.0e0'), 'lon', '100.0e0')}, 9) AS lon_max
+                   round({exprs.sql_lat_plus_km('lat', '-100.0e0')}, 6) AS lat_min,
+                   round({exprs.sql_lat_plus_km('lat', '100.0e0')}, 6) AS lat_max,
+                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '-100.0e0'), 'lon', '-100.0e0')}, 6) AS lon_min,
+                   round({exprs.sql_lon_plus_km(exprs.sql_lat_plus_km('lat', '100.0e0'), 'lon', '100.0e0')}, 6) AS lon_max
             FROM pts
         """,
         "search_topk": f"""
@@ -1113,8 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "median_dist": f"""
             {_SQL_POINTS}
-            SELECT round(quantile_cont(d, 0.5), 6) AS p50,
-                   round(quantile_cont(d, 0.75), 6) AS p75
+            SELECT round(quantile_cont(d, 0.5e0), 6) AS p50,
+                   round(quantile_cont(d, 0.75e0), 6) AS p75
             FROM (SELECT {dist_pts} AS d FROM c CROSS JOIN s
                   WHERE {dist_pts} <= {RADIUS_KM!r}e0)
         """,

@@ -118,7 +118,7 @@ def main() -> None:
             lambda: 5 * customers.count(),
         )
 
-    # 4) tile assignment + rollup (heavy mode: 50M synthetic points so the
+    # 4) tile assignment + rollup (heavy mode: 100M synthetic points so the
     # codegen'd tile math, not job overhead, is what's measured)
     if HEAVY:
         n_tile_rows = 100_000_000

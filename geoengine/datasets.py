@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MULTS = {"customer": (37, 91), "supplier": (53, 71), "events": (37, 91)}
+from .exprs import POINT_MULTS as MULTS  # single source for the multipliers
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -23,9 +23,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def with_point(df: DataFrame, key: str, a: int, b: int) -> DataFrame:
+    """Attach the derived point via the exprs builders — the same module
+    that owns the DuckDB twins (sql_lat/lon_from_key), so the Column
+    formula and the oracle formula cannot drift apart."""
+    from . import exprs
+
     k = F.col(key)
-    return df.withColumn("latitude", ((k * a) % 18000) / 100.0 - 90.0).withColumn(
-        "longitude", ((k * b) % 36000) / 100.0 - 180.0
+    return df.withColumn("latitude", exprs.lat_from_key(k, a)).withColumn(
+        "longitude", exprs.lon_from_key(k, b)
     )
 
 

@@ -111,6 +111,13 @@ def knn_join_rings(
         strategy is chosen precisely when the neighbor side may be too big
         to broadcast, so stragglers must not force one (AQE still picks a
         broadcast at runtime if the side turns out small).
+
+    Cache lifetime: the per-round nb/pending/ranked/done caches feed the
+    RETURNED lazy plan (the union only materializes when the caller acts),
+    so they cannot be unpersisted here without forcing eager per-round
+    materialization. They are MEMORY_AND_DISK-default, LRU-evictable blocks;
+    long-lived sessions issuing many unrelated kNN jobs should
+    spark.catalog.clearCache() between them if storage pressure matters.
     """
     o_all = _prefixed(validate_points(origins), "origin_")
     nb = _prefixed(validate_points(neighbors), "neighbor_")

@@ -20,12 +20,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, StructField
 
-
-def _extended(df: DataFrame, *fields: StructField) -> StructType:
-    """Copy of df.schema + new fields (never mutate the cached schema)."""
-    return StructType(list(df.schema.fields) + list(fields))
+from .images import _extended  # single schema-copy helper (never mutate)
 
 
 def with_batch_timing(df: DataFrame, col: str = "searchTimerSeconds") -> DataFrame:

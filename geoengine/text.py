@@ -204,6 +204,35 @@ def sql_fingerprint(text_col: str) -> str:
     return f"CAST(('0x' || substr(md5({text_col}), 1, 15)) AS BIGINT)"
 
 
+def band_bucket_expr(bands: int, rows: int, sig_col: str = "sig"):
+    """Exploded (band, bucket) struct array over a MinHash signature —
+    ANSI-safe xxhash64 fold per band. Single definition shared by every
+    banding caller so the bucket hashing (and hence the recall-certified
+    candidate sets) cannot drift between code paths."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b AS band, "
+            f"aggregate(slice({sig_col}, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
+            f"(acc, x) -> xxhash64(acc, x)) AS bucket))"
+        )
+    )
+
+
+def block_split_expr(block_bits: int, hash_col: str = "simhash"):
+    """Exploded (blk, val) struct array splitting a 64-bit hash into
+    64/block_bits exact blocks (pigeonhole candidate generation)."""
+    nblocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {nblocks - 1}), "
+            f"b -> struct(b AS blk, "
+            f"shiftright({hash_col}, b * {block_bits}) & {mask} AS val))"
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups via content hash (hash-groupBy: map-side
@@ -238,14 +267,7 @@ def minhash_near_dup_pairs(
     banded = with_sig.select(
         "doc",
         "sig",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"aggregate(slice(sig, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
-                f"(acc, x) -> xxhash64(acc, x)) AS bucket))"  # ANSI-safe fold
-            )
-        ).alias("bb"),
+        band_bucket_expr(bands, rows).alias("bb"),
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     left = banded.alias("l")
@@ -291,18 +313,10 @@ def simhash_near_dup_pairs(
     d = docs.select(F.col(id_col).alias("doc"), F.col(text_col)).withColumn(
         "simhash", sim(F.col(text_col))
     ).drop(text_col)
-    nblocks = 64 // block_bits
-    mask = (1 << block_bits) - 1
     blocked = d.select(
         "doc",
         "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {nblocks - 1}), "
-                f"b -> struct(b AS blk, "
-                f"shiftright(simhash, b * {block_bits}) & {mask} AS val))"
-            )
-        ).alias("bb"),
+        block_split_expr(block_bits).alias("bb"),
     ).select("doc", "simhash", "bb.blk", "bb.val")
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = (
@@ -389,14 +403,7 @@ def _minhash_band_candidates(
     )
     banded = with_sig.select(
         "doc",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"aggregate(slice(sig, b * {rows} + 1, {rows}), CAST(b AS BIGINT), "
-                f"(acc, x) -> xxhash64(acc, x)) AS bucket))"
-            )
-        ).alias("bb"),
+        band_bucket_expr(bands, rows).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     l, r = banded.alias("l"), banded.alias("r")
     return (
@@ -429,17 +436,9 @@ def _simhash_block_candidates(
     d = docs.select(F.col(id_col).alias("doc"), F.col(text_col)).withColumn(
         "simhash", sim_col
     ).drop(text_col)
-    nblocks = 64 // block_bits
-    mask = (1 << block_bits) - 1
     blocked = d.select(
         "doc",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {nblocks - 1}), "
-                f"b -> struct(b AS blk, "
-                f"shiftright(simhash, b * {block_bits}) & {mask} AS val))"
-            )
-        ).alias("bb"),
+        block_split_expr(block_bits).alias("bb"),
     ).select("doc", "bb.blk", "bb.val")
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
