@@ -171,3 +171,105 @@ def clustered_index_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed_neighbor_index(
+    neighbors: DataFrame,
+    table: str,
+    half_bits: int,
+    n_buckets: int = 64,
+    neighbor_prefix: str = "neighbor_",
+) -> str:
+    """Persist the neighbor side as a CATALOG TABLE bucketed + sorted by the
+    grid cell key. A radius join probing this table needs NO build-side
+    shuffle: the scan's output partitioning is already
+    HashPartitioning(gkey, n_buckets), so Catalyst elides the Exchange
+    above it (the 100-TB co-location pattern — pay the shuffle once at
+    index-build time, amortize it over every subsequent query).
+
+    Columns are stored pre-prefixed (neighbor_id, neighbor_latitude,
+    neighbor_longitude, gkey) so the query side joins directly.
+    """
+    nb = validate_points(neighbors).select(
+        *[F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
+    )
+    keyed = with_grid_cell(
+        nb, half_bits,
+        lat=neighbor_prefix + "latitude",
+        lon=neighbor_prefix + "longitude",
+    )
+    (
+        keyed.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "gkey")
+        .sortBy("gkey")
+        .saveAsTable(table)
+    )
+    # record the build resolution: a query at a different half_bits would
+    # produce silently-wrong keys, so the reader validates against this
+    spark = neighbors.sparkSession
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('geoengine.half_bits' = '{half_bits}')"
+    )
+    return table
+
+
+def bucketed_index_half_bits(spark, table: str) -> int | None:
+    """Read the resolution recorded by write_bucketed_neighbor_index."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    for r in rows:
+        if r["key"] == "geoengine.half_bits":
+            return int(r["value"])
+    return None
+
+
+def radius_join_pairs_bucketed(
+    spark,
+    origins: DataFrame,
+    index_table: str,
+    radius: float,
+    unit: str = "km",
+    half_bits: int | None = None,
+    origin_prefix: str = "origin_",
+) -> DataFrame:
+    """Radius join against a pre-bucketed neighbor index table: identical
+    results to join.radius_join_pairs, but the build side is scanned in
+    bucket order with no Exchange (plan-asserted in tests). The join MUST
+    run at the resolution the index was built at — it is read from the
+    table properties and validated against half_bits when both exist
+    (a mismatch would silently drop every pair)."""
+    radius_km = to_km(float(radius), unit)
+    built_hb = bucketed_index_half_bits(spark, index_table)
+    if half_bits is not None and built_hb is not None and half_bits != built_hb:
+        raise ValueError(
+            f"index {index_table!r} was built at half_bits={built_hb}, "
+            f"query requested {half_bits} — keys would never match"
+        )
+    hb = half_bits if half_bits is not None else built_hb
+    if hb is None:
+        raise ValueError(
+            f"index {index_table!r} records no geoengine.half_bits property "
+            "and none was given"
+        )
+    o = validate_points(origins).select(
+        *[F.col(c).alias(origin_prefix + c) for c in origins.columns]
+    )
+    probe = explode_covering_cells(
+        o, radius_km, hb,
+        lat=origin_prefix + "latitude", lon=origin_prefix + "longitude",
+    )
+    build = spark.table(index_table)
+    d_km = exprs.dist_km(
+        F.col(origin_prefix + "latitude"),
+        F.col(origin_prefix + "longitude"),
+        F.col("neighbor_latitude"),
+        F.col("neighbor_longitude"),
+    )
+    return (
+        probe.join(build, "gkey")
+        .withColumn("distance_km", d_km)
+        .where(F.col("distance_km") <= F.lit(radius_km))
+        .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit)))
+        .drop("gkey")
+    )
