@@ -560,6 +560,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 certification: documents decorated with CSV-hostile content
+    (comma, quote, embedded newline), written with the engine's CSV sink
+    options and read back through sources.read_csv — the recovered text
+    must equal the oracle's straight string concatenation, proving the
+    quote/escape round-trip is lossless."""
+    from geoengine.sources import read_csv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hostile = docs.select(
+        "doc_id",
+        F.concat(F.lit('a,"b"\n'), F.col("text")).alias("hostile_text"),
+    )
+    out_dir = "/tmp/geoeng_csv_roundtrip"
+    (
+        hostile.write.mode("overwrite")
+        .option("header", True).option("quote", '"').option("escape", '"')
+        .csv(out_dir)
+    )
+    back = read_csv(spark, out_dir, multiline=True)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "hostile_text"
+    )
+
+
+def q_nosql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 parity surface: the reference's external-store document model
+    (one row per exact 40-bit cell, binary-geohash string key, member
+    array; SparkDS.scala:19-24) — key render, grouping and member count
+    certified against DuckDB recomputing the interleaved cells in SQL."""
+    from geoengine.index import nosql_index_view
+
+    nb = datasets.supplier_points(spark, sf_dir)
+    v = nosql_index_view(nb, bits=40)
+    return v.select(
+        "key",
+        F.size("value").cast("long").alias("n_members"),
+        F.expr("value[0].id").alias("first_id"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-payload feature extraction certified per row: the fixture's
     constant-amplitude square waves make RMS == peak == A and duration
@@ -697,6 +738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_totals": q_streaming_user_totals,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
+    "csv_roundtrip": q_csv_roundtrip,
+    "nosql_view": q_nosql_view,
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
 }
@@ -993,6 +1036,21 @@ def oracle_sql() -> dict[str, str]:
         "record_count": """
             SELECT (SELECT count(*) FROM customer) AS n_origins,
                    (SELECT count(*) FROM supplier) AS n_neighbors
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, 'a,"b"' || chr(10) || text AS hostile_text
+            FROM documents
+        """,
+        "nosql_view": f"""
+            WITH p0 AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon
+                        FROM supplier),
+            p1 AS (SELECT id, {exprs.sql_grid_ix('lon', 20)} AS ix,
+                          {exprs.sql_grid_iy('lat', 20)} AS iy FROM p0),
+            p2 AS (SELECT id, {exprs.sql_interleave('ix', 'iy', 20)} AS cell
+                   FROM p1)
+            SELECT lpad(bin(cell), 40, '0') AS key,
+                   count(*) AS n_members, min(id) AS first_id
+            FROM p2 GROUP BY cell
         """,
         "audio_features": f"""
             SELECT {aud['audio_id']} AS audio_id,

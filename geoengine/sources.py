@@ -29,11 +29,19 @@ def coerce_points(
     )
 
 
+def read_csv(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    """Header'd RFC-style CSV (quote-doubling escape) — the reference
+    notebook's parser options (R2, 01_geospatial_searches.scala:71-75).
+    multiline=True for payloads with embedded newlines."""
+    return spark.read.csv(
+        path, header=True, quote='"', escape='"', multiLine=multiline
+    )
+
+
 def read_points_csv(spark: SparkSession, path: str, **renames: str) -> DataFrame:
     """Header'd, quoted/escaped CSV (R2) -> coerced point table.
     renames: id_col/lat_col/lon_col passthrough to coerce_points."""
-    raw = spark.read.csv(path, header=True, quote='"', escape='"')
-    return coerce_points(raw, **renames)
+    return coerce_points(read_csv(spark, path), **renames)
 
 
 def read_points_parquet(spark: SparkSession, path: str, **renames: str) -> DataFrame:
