@@ -560,6 +560,49 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume certification (R16 + north-rule lineage): the
+    radius-top-k search runs as 4 hash-bucketed slices committed atomically
+    to a manifest; one committed bucket is then DELETED to simulate a crash
+    and the job re-run — run_with_checkpoint recomputes ONLY the missing
+    bucket. The final union must equal the single-shot search (same oracle
+    as search_topk), proving resume loses and duplicates nothing."""
+    import shutil
+
+    from geoengine import snapshots
+
+    root = "/tmp/geoeng_snapshot_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    origins = datasets.customer_points(spark, sf_dir)
+    neighbors = datasets.supplier_points(spark, sf_dir)
+
+    def build(b: int) -> DataFrame:
+        o = origins.where(snapshots.bucket_of("id", 4) == b)
+        top = top_n_per_origin(
+            radius_join_pairs(o, neighbors, RADIUS_KM, "km"), TOPK_N
+        )
+        return top.select(
+            "origin_id", "neighbor_id",
+            F.round("distance_km", 6).alias("dist_km"),
+        )
+
+    snapshots.run_with_checkpoint(build, root, 4, lineage={"q": "gate"})
+    # simulate a crash that lost bucket 2, then resume
+    import json
+    import os
+
+    m = snapshots.read_manifest(root)
+    del m["buckets"]["2"]
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(root, "bucket=2"), ignore_errors=True)
+    m2 = snapshots.run_with_checkpoint(build, root, 4, lineage={"q": "resume"})
+    assert set(m2["buckets"]) == {"0", "1", "2", "3"}
+    assert m2["buckets"]["2"]["lineage"] == {"q": "resume"}  # only 2 re-ran
+    assert m2["buckets"]["0"]["lineage"] == {"q": "gate"}
+    return snapshots.read_snapshot(spark, root)
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 certification: documents decorated with CSV-hostile content
     (comma, quote, embedded newline), written with the engine's CSV sink
@@ -740,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "csv_roundtrip": q_csv_roundtrip,
     "nosql_view": q_nosql_view,
+    "snapshot_search": q_snapshot_search,
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
 }
@@ -1196,4 +1240,6 @@ def oracle_sql() -> dict[str, str]:
     }
     # full-probe IVF is exact: same oracle as the brute cosine top-k
     out["embedding_topk_ivf"] = out["embedding_topk"]
+    # bucket-union of the checkpointed search == the single-shot search
+    out["snapshot_search"] = out["search_topk"]
     return out
