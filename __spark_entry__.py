@@ -309,6 +309,26 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIP_MULTI_N, PIP_MULTI_SEED, PIP_MULTI_SCALE = 8, 5, 8.0
+
+
+def q_pip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon against MANY polygons at once — certifies the
+    batch-UDF ring grouping with distinct rings sharing a batch (the
+    round-2 partial-key collision fix) at the driver gate; the oracle
+    inlines every ring's vertices as literals and recomputes the even-odd
+    test per (point, polygon)."""
+    from geoengine.fixtures import polygons_table
+    from geoengine.pip import points_in_polygons
+
+    polys = polygons_table(spark, PIP_MULTI_N, seed=PIP_MULTI_SEED,
+                           half_width_scale=PIP_MULTI_SCALE)
+    pts = datasets.customer_points(spark, sf_dir)
+    return points_in_polygons(pts, polys).select(
+        F.col("point_id").alias("id"), "poly_id"
+    )
+
+
 def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via grid ring expansion (scale path) — same oracle as knn."""
     out = knn_join(
@@ -758,6 +778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "pip": q_pip,
+    "pip_multi": q_pip_multi,
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
     "ngram_jaccard": q_ngram_jaccard,
@@ -905,6 +926,34 @@ def _sql_jaccard_pairs(threshold: float, same_source: bool = False) -> str:
     """
 
 
+def _sql_pip_multi() -> str:
+    """Even-odd test against every fixture polygon, vertices inlined."""
+    from geoengine.fixtures import polygon_rings
+
+    edges = []
+    for pid, ring in polygon_rings(PIP_MULTI_N, PIP_MULTI_SEED,
+                                   PIP_MULTI_SCALE):
+        k = len(ring)
+        for j in range(k):
+            yj, xj = ring[j]
+            yk, xk = ring[(j - 1) % k]
+            edges.append(f"('{pid}', {yj!r}e0, {xj!r}e0, {yk!r}e0, {xk!r}e0)")
+    vals = ", ".join(edges)
+    return f"""
+        WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                     FROM customer),
+        edges(pid, yj, xj, yk, xk) AS (VALUES {vals}),
+        polys AS (SELECT DISTINCT pid FROM edges)
+        SELECT p.id, g.pid AS poly_id
+        FROM pts p CROSS JOIN polys g
+        WHERE (SELECT count(*) FROM edges e
+               WHERE e.pid = g.pid
+                 AND ((e.yj > p.lat) != (e.yk > p.lat))
+                 AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
+                              / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
 def _sql_text_stats() -> str:
     from geoengine.text import STOPWORDS_EN
 
@@ -961,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out = {
         "pip": _sql_pip(),
+        "pip_multi": _sql_pip_multi(),
         "text_stats": _sql_text_stats(),
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,

@@ -196,24 +196,39 @@ def sql_audio_cols(i: str = "i") -> dict[str, str]:
     }
 
 
-def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42) -> DataFrame:
-    """Seeded convex + star-concave polygons (FIXTURES.md §4)."""
+def polygon_rings(n_polys: int = 20, seed: int = 42,
+                  half_width_scale: float = 1.0) -> list[tuple[str, list]]:
+    """Seeded convex + star-concave polygon rings as plain Python
+    (FIXTURES.md §4) — shared by the Spark table AND the DuckDB oracle
+    (vertices inlined as literals), so both engines test the exact same
+    geometry."""
     rng = np.random.default_rng(seed)
-    rows = []
+    out = []
     for i in range(n_polys):
         cx, cy = rng.uniform(-60, 60), rng.uniform(-150, 150)
         k = int(rng.integers(5, 40))
         ang = np.sort(rng.uniform(0, 2 * np.pi, k))
         rad = rng.uniform(0.5, 5.0, k) if i % 3 == 0 else np.full(k, rng.uniform(1, 5))
-        rows.append(
-            {
-                "poly_id": f"z{i:04d}",
-                "ring": [
-                    {"lat": float(cx + r * np.sin(a)), "lon": float(cy + r * np.cos(a))}
+        rad = rad * half_width_scale
+        out.append(
+            (
+                f"z{i:04d}",
+                [
+                    (float(cx + r * np.sin(a)), float(cy + r * np.cos(a)))
                     for a, r in zip(ang, rad)
                 ],
-            }
+            )
         )
+    return out
+
+
+def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42,
+                   half_width_scale: float = 1.0) -> DataFrame:
+    """Seeded convex + star-concave polygons (FIXTURES.md §4)."""
+    rows = [
+        {"poly_id": pid, "ring": [{"lat": a, "lon": b} for a, b in ring]}
+        for pid, ring in polygon_rings(n_polys, seed, half_width_scale)
+    ]
     return spark.createDataFrame(
         pd.DataFrame(rows),
         schema="poly_id string, ring array<struct<lat:double, lon:double>>",
