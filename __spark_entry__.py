@@ -711,12 +711,21 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_tile_counts,
     )
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream, d = replay_parquet_stream(spark, batch, n_files=4)
-    pts = datasets.with_point(stream, "event_id", 37, 91)
-    out = streaming_tile_counts(pts, zoom=ROLLUP_ZOOM, window="24 hours",
-                                watermark="48 hours")
-    table = run_stream_to_memory(out, "geoeng_stream_tiles", "complete", d)
+    # the events ts column is TIMESTAMP_NTZ: its cast to timestamp (and
+    # hence the epoch-aligned window starts the oracle recomputes) depends
+    # on the session time zone — pin UTC so the query is deterministic in
+    # ANY host session, not just ones built by geoengine.session
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream, d = replay_parquet_stream(spark, batch, n_files=4)
+        pts = datasets.with_point(stream, "event_id", 37, 91)
+        out = streaming_tile_counts(pts, zoom=ROLLUP_ZOOM, window="24 hours",
+                                    watermark="48 hours")
+        table = run_stream_to_memory(out, "geoeng_stream_tiles", "complete", d)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return table.select(
         F.col("window.start").cast("long").alias("win_start"),
         "tile_x",
