@@ -74,7 +74,10 @@ def main() -> None:
     secs: dict[str, float] = {}
 
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1"
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    # default median-of-3: this host has intermittent external CPU steal, so
+    # a single-shot per-query number is noise; the driver artifact must be
+    # comparable round over round (BENCH_r{N}.json)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run(name: str, df_fn, count_df_fn=None):
         if warm:  # JIT/codegen/python-worker warmup: time the steady state
@@ -164,23 +167,43 @@ def main() -> None:
         )
 
         # 7) ANN: IVF partial-probe timing + recall@3 vs the exact brute
-        # top-k (quality line: approximation error is part of the contract)
+        # top-k (quality line: approximation error is part of the contract).
+        # Headline config n_assign=3 / n_probe=4: on this isotropic fixture
+        # single assignment is recall-capped ~0.59 at n_probe=4 regardless
+        # of codebook quality (no cluster structure to find); redundant
+        # assignment is the honest scale lever (similarity.py docstring).
         from geoengine.similarity import cosine_topk_brute, cosine_topk_ivf
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % 29 == 0)
         ivf = lambda: cosine_topk_ivf(
-            qs, emb, 3, n_centroids=16, n_probe=4, refine_iters=1
+            qs, emb, 3, n_centroids=16, n_probe=4, refine_iters=2, n_assign=3
         )
         run("embedding_ivf", ivf)
         exact = set(
             map(tuple, cosine_topk_brute(qs, emb, 3)
                 .select("query_id", "neighbor_id").collect())
         )
-        approx = set(
-            map(tuple, ivf().select("query_id", "neighbor_id").collect())
-        )
-        quality["ivf_recall_at_3"] = round(len(exact & approx) / len(exact), 4)
+
+        def recall(n_probe: int, n_assign: int) -> float:
+            approx = set(
+                map(
+                    tuple,
+                    cosine_topk_ivf(
+                        qs, emb, 3, n_centroids=16, n_probe=n_probe,
+                        refine_iters=2, n_assign=n_assign,
+                    ).select("query_id", "neighbor_id").collect(),
+                )
+            )
+            return round(len(exact & approx) / len(exact), 4)
+
+        quality["ivf_recall_at_3"] = recall(4, 3)
+        # recall curve at the headline redundancy, plus the single-assign
+        # reference point — the probe-budget trade a user actually tunes
+        quality["ivf_recall_curve_n_assign3"] = {
+            str(p): recall(p, 3) for p in (1, 2, 4, 8)
+        }
+        quality["ivf_recall_n_probe4_n_assign1"] = recall(4, 1)
 
     total = round(sum(secs.values()), 3)
     rps = {
