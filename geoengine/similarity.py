@@ -66,14 +66,25 @@ def cosine_topk_brute(
 
 
 @lru_cache(maxsize=None)
-def make_hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 11):
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+def make_hyperplane_sig_udf(dim: int | None, n_planes: int = 16, seed: int = 11):
+    """Hyperplane-sign signature pandas UDF. With dim=None the plane matrix
+    is generated lazily inside each worker from the first batch's vector
+    length — the rng is seeded, so every worker derives the IDENTICAL
+    matrix and no plan-build-time Spark job is needed to sniff dim."""
+    state: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        if d not in state:
+            state[d] = np.random.default_rng(seed).standard_normal((d, n_planes))
+        return state[d]
+
+    if dim is not None:
+        planes_for(dim)
 
     @pandas_udf("long")
     def _sig(vec: pd.Series) -> pd.Series:
         m = np.stack(vec.to_numpy())
-        signs = (m.astype(np.float64) @ planes) > 0
+        signs = (m.astype(np.float64) @ planes_for(m.shape[1])) > 0
         weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
         return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
 
@@ -288,52 +299,110 @@ def sql_hashed_tf(dim: int = 64, id_col: str = "doc_id",
     """
 
 
+def near_dup_prefix_index(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc, d) inverted-index rows for the COMPLETE suffix-norm prefix
+    filter (the AllPairs/L2AP family adapted to a symmetric self-join).
+
+    Rule: unit-normalize each vector, sort its dims by |weight| ascending,
+    and drop (leave unindexed) the maximal bottom set whose squared mass
+    stays within (t/2)^2 — i.e. index the minimal HEAVY prefix whose
+    excluded suffix has l2 norm <= t/2 (with a 1e-9 slack for float
+    rounding). Completeness: if a pair (x, y) shares NO indexed dim, every
+    dim is unindexed on at least one side, so splitting the dot product by
+    x's prefix/suffix and applying Cauchy-Schwarz twice gives
+    dot(x, y) <= ||x_suffix|| + ||y_suffix|| <= t * (1 - 1e-9) < t —
+    a qualifying pair (cosine >= t) MUST collide. No nonnegativity needed
+    (Cauchy-Schwarz is sign-free), unlike the flat per-dim cut this
+    replaces — and it is never less selective: the flat cut's suffix
+    {dims: |w| < t/(2*sqrt(d))} has squared mass < d * t^2/(4d) = (t/2)^2,
+    so the flat-cut prefix is one feasible solution and the minimal prefix
+    is a subset of it.
+
+    Cost: posexplode + one window (cumulative suffix mass per doc) — a
+    single shuffle on doc, linear in nonzeros. Pruning power scales with
+    weight skew: TF / vocab-hashed vectors index a handful of dims; even
+    fully dense Zipf-weighted vectors keep only their few heavy dims. The
+    adversarial flat-spectrum case (all weights equal) degrades toward
+    indexing most dims — see dense_candidate_bound for the loud guard.
+    """
+    budget2 = (threshold / 2.0) ** 2 * (1.0 - 1e-9)
+    v = vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    v = v.withColumn("_nrm", _norm("v"))
+    unit = F.expr("transform(v, x -> CAST(x AS DOUBLE) / _nrm)")
+    w = (
+        Window.partitionBy("doc")
+        .orderBy(F.abs(F.col("w")).asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        v.withColumn("_u", unit)
+        .select("doc", F.posexplode("_u").alias("d", "w"))
+        .withColumn("_cum", F.sum(F.col("w") * F.col("w")).over(w))
+        .where(F.col("_cum") > budget2)
+        .select("doc", "d")
+    )
+
+
+def dense_candidate_bound(index: DataFrame) -> tuple[int, int]:
+    """(n_docs, candidate-pair upper bound Sum_d n_d*(n_d-1)/2) for a
+    prefix index — two tiny aggregate jobs. Compare the bound against
+    n_docs*(n_docs-1)/2 to detect the flat-spectrum degeneration where the
+    complete prefilter approaches all-pairs (then cosine_near_dup_pairs,
+    the measured-recall LSH path, is the pragmatic choice)."""
+    n_docs = index.select("doc").distinct().count()
+    row = (
+        index.groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("b"))
+        .first()
+    )
+    return n_docs, int(row["b"] or 0)
+
+
 def cosine_near_dup_exact(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    dense_guard: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs with a PROVABLY complete prefilter.
+    """Embedding-cosine near-dup pairs with a PROVABLY complete prefilter
+    — recall 1.0 by mathematics at every scale, unlike any LSH
+    configuration. Candidates come from the suffix-norm prefix index
+    (near_dup_prefix_index: minimal heavy prefix per vector with excluded
+    l2 mass <= t/2, complete by Cauchy-Schwarz); the exact cosine verifies
+    each collision. The candidate join ships only (doc, dim) pairs; the
+    wide arrays are joined back AFTER pair-level dedup, so they never ride
+    the exploded shuffle.
 
-    For unit-normalized nonnegative vectors a, b with cosine(a,b) >= t,
-    at least one dimension i has a_i * b_i >= t/dim, which (each factor
-    <= 1) forces BOTH normalized weights >= t/dim. So the inverted-index
-    bucket join on dims where weight >= t/dim can never drop a qualifying
-    pair — recall is 1.0 by mathematics at every scale, unlike any LSH
-    configuration (this is the candidate rule behind classic exact
-    similarity joins). The exact cosine then verifies each collision.
+    ``dim`` is accepted for backward compatibility and ignored — the
+    suffix-norm rule needs no dimensionality, so plan construction no
+    longer triggers a Spark job. ``dense_guard=True`` spends two small
+    aggregate jobs at build time to measure the candidate-pair upper bound
+    and WARNS loudly when the prefilter has degenerated past half of
+    all-pairs (flat weight spectra) — correctness is unaffected either
+    way; the warning points dense-flat inputs at cosine_near_dup_pairs."""
+    buckets = near_dup_prefix_index(vectors, threshold, id_col, vec_col)
+    if dense_guard:
+        import warnings
 
-    A tighter still-complete cutoff: contributions from dims where either
-    side's weight < delta total at most 2*delta*sqrt(dim) (Cauchy-Schwarz:
-    sum of unit-vector coords <= sqrt(dim)), so with
-    delta = t / (2*sqrt(dim)) a qualifying pair must share a dim where
-    BOTH weights >= delta. The candidate join ships only (doc, dim) pairs;
-    the vectors are joined back after pair-level dedup, so the wide arrays
-    never ride the exploded shuffle.
-
-    Pruning power scales with sparsity: for real TF/embedding data
-    (vocab-sized dims, few nonzeros) the bucket join is tiny; for dense
-    low-dim vectors it degrades toward all-pairs and the LSH path
-    (cosine_near_dup_pairs) is the pragmatic choice with measured recall.
-    """
-    import math
-
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    # complete for any delta < t/(2*sqrt(d)); back off 1e-9 for the
-    # boundary where the weak-dim bound is tight
-    cut = threshold / (2.0 * math.sqrt(dim)) * (1.0 - 1e-9)
-    v = vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
-    v = v.withColumn("_nrm", _norm("v"))
-    unit = F.expr("transform(v, x -> CAST(x AS DOUBLE) / _nrm)")
-    buckets = (
-        v.withColumn("_u", unit)
-        .select("doc", F.posexplode("_u").alias("d", "w"))
-        .where(F.col("w") >= cut)
-        .select("doc", "d")
-    )
+        n_docs, bound = dense_candidate_bound(buckets)
+        all_pairs = n_docs * (n_docs - 1) / 2
+        if all_pairs > 0 and bound >= 0.5 * all_pairs:
+            warnings.warn(
+                f"cosine_near_dup_exact: prefix filter is non-selective on "
+                f"this input (candidate bound {bound} vs {int(all_pairs)} "
+                f"all-pairs) — flat weight spectrum; result stays exact but "
+                f"consider cosine_near_dup_pairs (LSH, measured recall) at "
+                f"scale",
+                stacklevel=2,
+            )
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), "d")
@@ -342,7 +411,7 @@ def cosine_near_dup_exact(
         .dropDuplicates(["doc1", "doc2"])
     )
     sim = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
-    vv = v.select("doc", "v")
+    vv = vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
     return (
         cand.join(vv.select(F.col("doc").alias("doc1"),
                             F.col("v").alias("v1")), "doc1")
@@ -373,9 +442,9 @@ def cosine_near_dup_pairs(
     The exact cosine (zip_with/aggregate Columns, JVM codegen) runs only on
     colliding pairs; no all-pairs join ever materializes. Recall at the
     certification threshold is measured (tests + oracle gate), like the
-    SimHash block prefilter."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    SimHash block prefilter. ``dim`` may stay None — the hyperplane UDF
+    derives its plane matrix lazily per worker from the seeded rng, so no
+    plan-build-time job runs."""
     sig = make_hyperplane_sig_udf(dim, n_planes, seed)
     base = vectors.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("v")

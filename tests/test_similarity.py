@@ -153,6 +153,89 @@ def test_cosine_near_dup_exact_equals_bruteforce(spark):
     assert len(want) > 50
 
 
+def test_near_dup_prefix_prunes_dense_vectors(spark):
+    # FULLY DENSE (every dim nonzero) Zipf-weighted vectors: the suffix-norm
+    # prefix rule must (a) stay exact and (b) index only each vector's few
+    # heavy dims, so the candidate-pair bound is far below all-pairs — the
+    # round-2 flat cut t/(2*sqrt(dim)) kept essentially every (doc, dim)
+    # here and degenerated to all-pairs.
+    rng = np.random.default_rng(61)
+    n, dim, n_clusters = 300, 96, 30
+    zipf = 1.0 / np.arange(1, dim + 1)
+    centers = np.stack([zipf[rng.permutation(dim)] for _ in range(n_clusters)])
+    idx = rng.integers(0, n_clusters, n)
+    md = centers[idx] * rng.uniform(0.95, 1.05, (n, dim))  # dense, no zeros
+    assert (md > 0).all()
+    import pandas as pd_
+
+    df = spark.createDataFrame(
+        pd_.DataFrame(
+            {"vec_id": range(n), "embedding": list(map(list, md.astype(np.float32)))}
+        )
+    )
+    t = 0.99
+    md32 = md.astype(np.float32).astype(np.float64)
+    nr = np.linalg.norm(md32, axis=1, keepdims=True)
+    sims = (md32 @ md32.T) / (nr * nr.T)
+    iu = np.triu_indices(n, 1)
+    want = {(int(min(i, j)), int(max(i, j)))
+            for i, j in zip(*iu) if sims[i, j] >= t}
+    assert len(want) > 100  # the fixture has real near-dups
+    got = set(
+        map(tuple, similarity.cosine_near_dup_exact(df, t)
+            .select("doc1", "doc2").collect())
+    )
+    assert got == want  # complete AND exact on dense input
+    n_docs, bound = similarity.dense_candidate_bound(
+        similarity.near_dup_prefix_index(df, t)
+    )
+    all_pairs = n_docs * (n_docs - 1) / 2
+    assert bound < 0.25 * all_pairs, (bound, all_pairs)  # real pruning
+
+
+def test_near_dup_exact_signed_vectors(spark):
+    # the suffix-norm proof is sign-free (Cauchy-Schwarz) — signed clustered
+    # vectors must come back complete too (the round-2 flat cut assumed
+    # nonnegative weights)
+    df, m = _clustered_vecs(spark, 250, dim=24, n_clusters=25, seed=67)
+    md = m.astype(np.float64)
+    nr = np.linalg.norm(md, axis=1, keepdims=True)
+    sims = (md @ md.T) / (nr * nr.T)
+    iu = np.triu_indices(len(md), 1)
+    t = 0.97
+    want = {(int(min(i, j)), int(max(i, j)))
+            for i, j in zip(*iu) if sims[i, j] >= t}
+    assert len(want) > 30
+    got = set(
+        map(tuple, similarity.cosine_near_dup_exact(df, t)
+            .select("doc1", "doc2").collect())
+    )
+    assert got == want
+
+
+def test_dense_guard_warns_on_flat_spectrum(spark):
+    # all-equal weights (the adversarial flat spectrum): the guard must warn
+    # that the prefilter degenerated, while the result stays exact
+    import warnings
+
+    import pandas as pd_
+
+    md = np.ones((40, 16)) + 0.001 * np.random.default_rng(71).uniform(
+        0, 1, (40, 16)
+    )
+    df = spark.createDataFrame(
+        pd_.DataFrame(
+            {"vec_id": range(40), "embedding": list(map(list, md))}
+        )
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = similarity.cosine_near_dup_exact(df, 0.9, dense_guard=True)
+        n = out.count()
+    assert n == 40 * 39 // 2  # everything is a near-dup here
+    assert any("non-selective" in str(w.message) for w in rec)
+
+
 def test_hashed_tf_vectors_deterministic(spark):
     import hashlib
 
