@@ -329,6 +329,26 @@ def q_pip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIP_HOLES_N, PIP_HOLES_SEED, PIP_HOLES_SCALE = 6, 9, 8.0
+
+
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon against MULTI-RING polygons (outer + concentric
+    hole; every 3rd a multipolygon with a second disjoint outer) under the
+    even-odd rule across all rings — certifies the rings surface at the
+    driver gate. The oracle inlines every ring's edges and takes crossing
+    parity over the union, which IS even-odd with holes."""
+    from geoengine.fixtures import holed_polygons_table
+    from geoengine.pip import points_in_multipolygons
+
+    polys = holed_polygons_table(spark, PIP_HOLES_N, seed=PIP_HOLES_SEED,
+                                 half_width_scale=PIP_HOLES_SCALE)
+    pts = datasets.customer_points(spark, sf_dir)
+    return points_in_multipolygons(pts, polys).select(
+        F.col("point_id").alias("id"), "poly_id"
+    )
+
+
 def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via grid ring expansion (scale path) — same oracle as knn."""
     out = knn_join(
@@ -788,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "pip": q_pip,
     "pip_multi": q_pip_multi,
+    "pip_holes": q_pip_holes,
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
     "ngram_jaccard": q_ngram_jaccard,
@@ -963,6 +984,38 @@ def _sql_pip_multi() -> str:
     """
 
 
+def _sql_pip_holes() -> str:
+    """Even-odd over the union of ALL rings' edges per polygon — identical
+    parity semantics to points_in_multipolygons (holes subtract)."""
+    from geoengine.fixtures import holed_polygon_rings
+
+    edges = []
+    for pid, rings in holed_polygon_rings(PIP_HOLES_N, PIP_HOLES_SEED,
+                                          PIP_HOLES_SCALE):
+        for ring in rings:
+            k = len(ring)
+            for j in range(k):
+                yj, xj = ring[j]
+                yk, xk = ring[(j - 1) % k]
+                edges.append(
+                    f"('{pid}', {yj!r}e0, {xj!r}e0, {yk!r}e0, {xk!r}e0)"
+                )
+    vals = ", ".join(edges)
+    return f"""
+        WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                     FROM customer),
+        edges(pid, yj, xj, yk, xk) AS (VALUES {vals}),
+        polys AS (SELECT DISTINCT pid FROM edges)
+        SELECT p.id, g.pid AS poly_id
+        FROM pts p CROSS JOIN polys g
+        WHERE (SELECT count(*) FROM edges e
+               WHERE e.pid = g.pid
+                 AND ((e.yj > p.lat) != (e.yk > p.lat))
+                 AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
+                              / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
 def _sql_text_stats() -> str:
     from geoengine.text import STOPWORDS_EN
 
@@ -1020,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "pip": _sql_pip(),
         "pip_multi": _sql_pip_multi(),
+        "pip_holes": _sql_pip_holes(),
         "text_stats": _sql_text_stats(),
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,

@@ -233,3 +233,54 @@ def polygons_table(spark: SparkSession, n_polys: int = 20, seed: int = 42,
         pd.DataFrame(rows),
         schema="poly_id string, ring array<struct<lat:double, lon:double>>",
     )
+
+
+def holed_polygon_rings(n_polys: int = 6, seed: int = 42,
+                        half_width_scale: float = 8.0
+                        ) -> list[tuple[str, list[list]]]:
+    """Seeded MULTI-RING polygons as plain Python: (pid, [ring, ...]).
+    Every polygon carries a concentric hole at 40% radius; every 3rd also
+    carries a second DISJOINT outer ring (multipolygon part) shifted east.
+    Shared by the Spark table AND the DuckDB oracle (vertices inlined), so
+    both engines test identical geometry under the even-odd rule."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_polys):
+        cx, cy = rng.uniform(-55, 55), rng.uniform(-120, 120)
+        k = int(rng.integers(5, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(1.0, 3.0, k) * half_width_scale
+
+        def ring_at(ox: float, oy: float, scale: float) -> list:
+            return [
+                (float(ox + r * scale * np.sin(a)),
+                 float(oy + r * scale * np.cos(a)))
+                for a, r in zip(ang, rad)
+            ]
+
+        rings = [ring_at(cx, cy, 1.0), ring_at(cx, cy, 0.4)]  # outer + hole
+        if i % 3 == 2:  # multipolygon: second outer, disjoint (shift east)
+            rings.append(ring_at(cx, cy + 3.0 * float(rad.max()), 0.7))
+        out.append((f"h{i:04d}", rings))
+    return out
+
+
+def holed_polygons_table(spark: SparkSession, n_polys: int = 6,
+                         seed: int = 42,
+                         half_width_scale: float = 8.0) -> DataFrame:
+    """Multi-ring polygon table: (poly_id, rings) per holed_polygon_rings."""
+    rows = [
+        {
+            "poly_id": pid,
+            "rings": [[{"lat": a, "lon": b} for a, b in ring]
+                      for ring in rings],
+        }
+        for pid, rings in holed_polygon_rings(n_polys, seed, half_width_scale)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=(
+            "poly_id string, "
+            "rings array<array<struct<lat:double, lon:double>>>"
+        ),
+    )

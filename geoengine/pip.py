@@ -1,10 +1,17 @@
 """Point-in-polygon (north-rule extension; no reference counterpart).
 
 Even-odd (ray casting) test, vectorized numpy inside a pandas UDF over
-``array<struct<lat,lon>>`` polygon rings. The scale path prefilters with a
-cell-keyed join: polygons are exploded to the grid cells covering their
-bbox, points carry their single cell — so the O(N_points * N_vertices)
-exact test only runs on (point, polygon) pairs whose cells collide.
+multi-ring polygons (``rings: array<array<struct<lat,lon>>>`` — outer
+ring(s) + holes; disjoint outers model multipolygons). Even-odd parity is
+taken across ALL rings' edges, so a point inside the outer ring but inside
+a hole counts as outside — the standard even-odd fill rule.
+
+The scale path prefilters with a cell-keyed join: polygons are exploded to
+the grid cells covering the bbox of all their rings, points carry their
+single cell — so the O(N_points * N_vertices) exact test only runs on
+(point, polygon) pairs whose cells collide. Inside each Arrow batch the
+exact kernel runs once per polygon (grouped by the joined ``poly_id`` —
+O(1) keying per candidate row), not per row.
 
 Edge semantics: boundary points follow the standard even-odd half-open rule
 (a point exactly on a horizontal-crossing vertex counts per the crossing
@@ -12,6 +19,8 @@ parity); deterministic and documented rather than geodesic-exact.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -38,65 +47,75 @@ def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray,
     return inside
 
 
-from functools import lru_cache
+def point_in_rings(lat: np.ndarray, lon: np.ndarray,
+                   rings_lat: list, rings_lon: list) -> np.ndarray:
+    """Even-odd across ALL rings: XOR of per-ring parities == crossing
+    parity over the union of all edges (holes subtract, disjoint outers
+    add)."""
+    inside = np.zeros(np.asarray(lat).shape, dtype=bool)
+    for rl, rn in zip(rings_lat, rings_lon):
+        inside ^= point_in_ring(lat, lon, rl, rn)
+    return inside
 
 
 @lru_cache(maxsize=1)
 def _pip_udf():
     @pandas_udf("boolean")
     def _inner(
-        lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
+        lat: pd.Series, lon: pd.Series, pid: pd.Series,
+        rings_lat: pd.Series, rings_lon: pd.Series,
     ) -> pd.Series:
-        """Batch test: each row has its own polygon ring (arrays)."""
+        """Batch test: rows carry their (joined) polygon's rings. The batch
+        is grouped by ``pid`` — the polygon key is already on the row from
+        the candidate join, so keying is O(1) per row (the round-2 version
+        hashed the full ring bytes per row, O(vertices))."""
         out = np.zeros(len(lat), dtype=bool)
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
-        # group identical rings inside the batch so the vectorized kernel
-        # runs once per polygon, not per row; the key is the FULL ring
-        # content (both axes) — partial keys (len, first, last) collide for
-        # distinct polygons, e.g. lat-aligned rectangles at different lons
-        groups: dict[bytes, list[int]] = {}
-        for pos in range(len(lat)):
-            key = (
-                np.asarray(ring_lat.iloc[pos], dtype=np.float64).tobytes()
-                + np.asarray(ring_lon.iloc[pos], dtype=np.float64).tobytes()
-            )
-            groups.setdefault(key, []).append(pos)
-        for poss in groups.values():
-            i = np.asarray(poss)
-            rl = np.asarray(ring_lat.iloc[i[0]], dtype=np.float64)
-            rn = np.asarray(ring_lon.iloc[i[0]], dtype=np.float64)
-            out[i] = point_in_ring(la[i], lo[i], rl, rn)
+        codes, _ = pd.factorize(pid, use_na_sentinel=False)
+        for c in np.unique(codes):
+            i = np.nonzero(codes == c)[0]
+            first = int(i[0])
+            rl = [np.asarray(r, dtype=np.float64)
+                  for r in rings_lat.iloc[first]]
+            rn = [np.asarray(r, dtype=np.float64)
+                  for r in rings_lon.iloc[first]]
+            out[i] = point_in_rings(la[i], lo[i], rl, rn)
         return pd.Series(out)
 
     return _inner
 
 
-def points_in_polygons(
+def points_in_multipolygons(
     points: DataFrame,
     polygons: DataFrame,
     half_bits: int = 8,
     point_id: str = "id",
     poly_id: str = "poly_id",
+    rings_col: str = "rings",
 ) -> DataFrame:
-    """(point_id, poly_id) pairs where the point lies inside the ring.
+    """(point_id, poly_id) pairs where the point lies inside the polygon
+    under the even-odd rule across all rings.
 
     points: (id, latitude, longitude); polygons: (poly_id,
-    ring: array<struct<lat:double, lon:double>>).
+    rings: array<array<struct<lat:double, lon:double>>>) — outer ring(s)
+    plus holes; disjoint outer rings express multipolygons.
 
-    Plan: polygon bbox -> covering cells (explode) | point -> single cell
-    -> equi-join on cell -> exact ray-cast UDF on survivors only.
+    Plan: bbox of ALL rings -> covering cells (explode) | point -> single
+    cell -> equi-join on cell -> exact ray-cast UDF on survivors only,
+    batch-grouped by poly_id.
     """
-    n = 1 << half_bits
+    flat = f"flatten({rings_col})"
     polys = polygons.select(
         poly_id,
-        "ring",
-        F.expr("transform(ring, p -> p.lat)").alias("_rlat"),
-        F.expr("transform(ring, p -> p.lon)").alias("_rlon"),
-        F.expr("array_min(transform(ring, p -> p.lat))").alias("_lat0"),
-        F.expr("array_max(transform(ring, p -> p.lat))").alias("_lat1"),
-        F.expr("array_min(transform(ring, p -> p.lon))").alias("_lon0"),
-        F.expr("array_max(transform(ring, p -> p.lon))").alias("_lon1"),
+        F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lat))")
+        .alias("_rlat"),
+        F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lon))")
+        .alias("_rlon"),
+        F.expr(f"array_min(transform({flat}, p -> p.lat))").alias("_lat0"),
+        F.expr(f"array_max(transform({flat}, p -> p.lat))").alias("_lat1"),
+        F.expr(f"array_min(transform({flat}, p -> p.lon))").alias("_lon0"),
+        F.expr(f"array_max(transform({flat}, p -> p.lon))").alias("_lon1"),
     )
     cov = (
         polys.withColumn(
@@ -124,7 +143,24 @@ def points_in_polygons(
     cand = pts.join(cov, "gkey")
     hit = cand.where(
         _pip_udf()(
-            F.col("latitude"), F.col("longitude"), F.col("_rlat"), F.col("_rlon")
+            F.col("latitude"), F.col("longitude"), F.col(poly_id),
+            F.col("_rlat"), F.col("_rlon"),
         )
     )
     return hit.select(F.col(point_id).alias("point_id"), poly_id)
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    half_bits: int = 8,
+    point_id: str = "id",
+    poly_id: str = "poly_id",
+) -> DataFrame:
+    """Single-ring convenience surface: polygons carry one ``ring``
+    column; delegates to the multi-ring engine with rings = [ring]."""
+    multi = polygons.withColumn("rings", F.array(F.col("ring")))
+    return points_in_multipolygons(
+        points, multi, half_bits=half_bits,
+        point_id=point_id, poly_id=poly_id,
+    )

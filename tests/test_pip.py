@@ -4,7 +4,12 @@ import numpy as np
 import pandas as pd
 
 from geoengine import fixtures
-from geoengine.pip import point_in_ring, points_in_polygons
+from geoengine.pip import (
+    point_in_ring,
+    point_in_rings,
+    points_in_multipolygons,
+    points_in_polygons,
+)
 
 
 def test_point_in_ring_square():
@@ -48,6 +53,61 @@ def test_colliding_partial_keys_distinct_polygons(spark):
     ).coalesce(1)  # one partition -> one Arrow batch -> keys must not collide
     got = points_in_polygons(pts, polys).toPandas()
     assert set(zip(got["point_id"], got["poly_id"])) == {("inA", "A"), ("inB", "B")}
+
+
+def test_holed_square_semantics(spark):
+    # outer 0..10 square with hole 3..7: inside-outer/outside-hole is IN,
+    # inside-hole is OUT, outside-outer is OUT
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    hole = [(3.0, 3.0), (3.0, 7.0), (7.0, 7.0), (7.0, 3.0)]
+    polys = spark.createDataFrame(
+        [("H", [[{"lat": a, "lon": b} for a, b in outer],
+                [{"lat": a, "lon": b} for a, b in hole]])],
+        schema=(
+            "poly_id string, "
+            "rings array<array<struct<lat:double, lon:double>>>"
+        ),
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["ring_zone", "in_hole", "outside"],
+                "latitude": [1.0, 5.0, 15.0],
+                "longitude": [1.0, 5.0, 5.0],
+            }
+        )
+    )
+    got = points_in_multipolygons(pts, polys).toPandas()
+    assert set(got["point_id"]) == {"ring_zone"}
+
+
+def test_multipolygons_match_bruteforce(spark):
+    polys = fixtures.holed_polygons_table(spark, 9, seed=11)
+    rng = np.random.default_rng(12)
+    pts = pd.DataFrame(
+        {
+            "id": [f"p{i}" for i in range(3000)],
+            "latitude": rng.uniform(-70, 70, 3000),
+            "longitude": rng.uniform(-160, 160, 3000),
+        }
+    )
+    got = (
+        points_in_multipolygons(spark.createDataFrame(pts), polys)
+        .toPandas()
+    )
+    got_set = set(zip(got["point_id"], got["poly_id"]))
+
+    want = set()
+    for pid, rings in fixtures.holed_polygon_rings(9, seed=11):
+        rl = [np.array([a for a, _ in ring]) for ring in rings]
+        rn = [np.array([b for _, b in ring]) for ring in rings]
+        hits = point_in_rings(
+            pts["latitude"].to_numpy(), pts["longitude"].to_numpy(), rl, rn
+        )
+        for p in pts["id"].to_numpy()[hits]:
+            want.add((p, pid))
+    assert got_set == want
+    assert len(want) > 20
 
 
 def test_points_in_polygons_matches_bruteforce(spark):
