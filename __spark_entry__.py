@@ -781,6 +781,28 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming radius search certification: the customer point feed
+    replayed as a 4-micro-batch stream probes the STATIC supplier side
+    through the batch radius-join plan (stream-static inner join, append
+    mode, no state). availableNow replay of the whole feed must equal the
+    batch radius_pairs answer — same oracle."""
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_radius_pairs,
+    )
+
+    origins = datasets.customer_points(spark, sf_dir)
+    stream, d = replay_parquet_stream(spark, origins, n_files=4)
+    out = streaming_radius_pairs(
+        stream, datasets.supplier_points(spark, sf_dir), RADIUS_KM, "km"
+    ).select(
+        "origin_id", "neighbor_id", F.round("distance_km", 6).alias("dist_km")
+    )
+    return run_stream_to_memory(out, "geoeng_stream_radius", "append", d)
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -830,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_count": q_record_count,
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
+    "streaming_radius": q_streaming_radius,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
     "csv_roundtrip": q_csv_roundtrip,
@@ -1353,6 +1376,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # full-probe IVF is exact: same oracle as the brute cosine top-k
     out["embedding_topk_ivf"] = out["embedding_topk"]
+    # full availableNow replay of the stream-static join == the batch join
+    out["streaming_radius"] = _SQL_PAIRS
     # bucket-union of the checkpointed search == the single-shot search
     out["snapshot_search"] = out["search_topk"]
     return out

@@ -197,6 +197,28 @@ def sessionize_gap(
     )
 
 
+def streaming_radius_pairs(
+    stream_origins: DataFrame,
+    static_neighbors: DataFrame,
+    radius: float,
+    unit: str = "km",
+    **kw,
+) -> DataFrame:
+    """Streaming radius-neighborhood search: a live origin point feed
+    probes the STATIC neighbor index — the natural composition of the
+    engine's two certified halves (join.radius_join_pairs plan + the
+    streaming runtime). The batch plan is reused verbatim: the covering-
+    cell explode is stateless Column math, and the cell equi-join is a
+    supported stream-static inner join — no state, no watermark; each
+    micro-batch joins against the static side independently (append-mode
+    capable). Pair the static side with index.write_bucketed_neighbor_index
+    (cell-bucketed table) to elide its per-batch shuffle at scale."""
+    from .join import radius_join_pairs
+
+    return radius_join_pairs(stream_origins, static_neighbors, radius,
+                             unit, **kw)
+
+
 def streaming_cell_counts(
     stream: DataFrame,
     half_bits: int,

@@ -59,6 +59,36 @@ def test_streaming_tile_counts_matches_batch(spark, sf_dir, tmp_path):
     assert g == w and len(w) > 0
 
 
+def test_streaming_radius_equals_batch(spark, sf_dir):
+    from geoengine.datasets import customer_points, supplier_points
+    from geoengine.join import radius_join_pairs
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_radius_pairs,
+    )
+
+    origins = customer_points(spark, sf_dir)
+    neighbors = supplier_points(spark, sf_dir)
+    stream, d = replay_parquet_stream(spark, origins, n_files=3)
+    got = run_stream_to_memory(
+        streaming_radius_pairs(stream, neighbors, 500.0, "km").select(
+            "origin_id", "neighbor_id", F.round("distance_km", 6).alias("d")
+        ),
+        "t_stream_radius",
+        "append",
+        d,
+    ).toPandas()
+    want = (
+        radius_join_pairs(origins, neighbors, 500.0, "km")
+        .select("origin_id", "neighbor_id", F.round("distance_km", 6).alias("d"))
+        .toPandas()
+    )
+    g = set(map(tuple, got.itertuples(index=False)))
+    w = set(map(tuple, want.itertuples(index=False)))
+    assert g == w and len(w) > 0
+
+
 def _events_stream(spark, sf_dir, tmp_path, files=4, time_ordered=False):
     """Replay the events table as a file stream, one micro-batch per file.
     time_ordered=True delivers micro-batches in event-time order (the
