@@ -611,7 +611,12 @@ def q_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from geoengine import snapshots
 
-    root = "/tmp/geoeng_snapshot_gate"
+    # suffix with the Spark application id: two concurrent gate/bench
+    # sessions on one host must not clobber each other's manifest/buckets
+    # (the dir must outlive this function — the returned DataFrame reads it
+    # lazily — so a per-session deterministic path, wiped on entry, rather
+    # than an unreclaimed mkdtemp per call)
+    root = f"/tmp/geoeng_snapshot_gate_{spark.sparkContext.applicationId}"
     shutil.rmtree(root, ignore_errors=True)
     origins = datasets.customer_points(spark, sf_dir)
     neighbors = datasets.supplier_points(spark, sf_dir)
@@ -656,7 +661,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit('a,"b"\n'), F.col("text")).alias("hostile_text"),
     )
-    out_dir = "/tmp/geoeng_csv_roundtrip"
+    # application-id suffix: concurrent sessions must not clobber the dir
+    out_dir = f"/tmp/geoeng_csv_roundtrip_{spark.sparkContext.applicationId}"
     (
         hostile.write.mode("overwrite")
         .option("header", True).option("quote", '"').option("escape", '"')

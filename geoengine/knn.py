@@ -95,6 +95,7 @@ def knn_join_rings(
     half_bits: int | None = None,
     max_rounds: int = 3,
     neighbor_count: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact kNN by iterative ring probing (see module docstring).
 
@@ -115,10 +116,19 @@ def knn_join_rings(
     Cache lifetime: the per-round nb/pending/ranked/done caches feed the
     RETURNED lazy plan (the union only materializes when the caller acts),
     so they cannot be unpersisted here without forcing eager per-round
-    materialization. They are MEMORY_AND_DISK-default, LRU-evictable blocks;
-    long-lived sessions issuing many unrelated kNN jobs should
+    materialization. They are MEMORY_AND_DISK-default, LRU-evictable
+    blocks. Pass ``cache_registry`` (a list) to receive every DataFrame
+    this call caches and unpersist them once the result is materialized —
+    or use ``knn_join_rings_scoped`` which does that automatically;
+    otherwise long-lived sessions issuing many unrelated kNN jobs should
     spark.catalog.clearCache() between them if storage pressure matters.
     """
+    def _cached(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        return df
+
     o_all = _prefixed(validate_points(origins), "origin_")
     nb = _prefixed(validate_points(neighbors), "neighbor_")
 
@@ -135,12 +145,12 @@ def knn_join_rings(
     n = 1 << hb
     lat_cell_km = (180.0 / n) * KM_PER_DEG
 
-    nb = with_grid_cell(
+    nb = _cached(with_grid_cell(
         nb, hb, lat="neighbor_latitude", lon="neighbor_longitude", out="n_gkey"
-    ).cache()
-    pending = o_all.withColumn(
+    ))
+    pending = _cached(o_all.withColumn(
         "_oix", exprs.grid_ix(F.col("origin_longitude"), hb)
-    ).withColumn("_oiy", exprs.grid_iy(F.col("origin_latitude"), hb)).cache()
+    ).withColumn("_oiy", exprs.grid_iy(F.col("origin_latitude"), hb)))
 
     results = []
     acc: DataFrame | None = None  # pending origins' top-k-so-far candidates
@@ -175,28 +185,51 @@ def knn_join_rings(
         )
         new_pairs = _pairs_dist(probe, nb, "inner", on="n_gkey").drop("n_gkey")
         all_cand = new_pairs if acc is None else acc.unionByName(new_pairs)
-        ranked = _ranked(all_cand, k).cache()  # read 3x: kth, done, carry
-        # guaranteed-covered radius of ring r at this origin's latitude
+        ranked = _cached(_ranked(all_cand, k))  # read 3x: kth, done, carry
+        # Guaranteed-covered radius of ring r at this origin's latitude —
+        # RIGOROUS separation bound for any neighbor outside Chebyshev
+        # ring r. Case split on the index gap:
+        #   |d_iy| > r  -> latitude separation > r cells -> great-circle
+        #                  distance >= r * lat_cell_km (meridian arc exact);
+        #   |d_iy| <= r AND |d_ix| > r -> both points lie in the band
+        #                  |phi| <= lat_extent (= |lat| + (r+1) cells) and
+        #                  their wrapped longitude separation exceeds
+        #                  d_lambda = r * 2*pi/n. The great-circle distance
+        #                  of two band points at lon separation d_lambda is
+        #                  minimized with both at the band edge (maximize
+        #                  cos d = cos(p1-p2) - 2 cos p1 cos p2 sin^2(dl/2):
+        #                  the first term peaks at p1 == p2 and the second
+        #                  shrinks as |p| grows, so the corner p1 = p2 =
+        #                  lat_extent wins), giving EXACTLY
+        #                  2R * asin(cos(lat_extent) * sin(d_lambda/2)) —
+        #                  monotone in d_lambda on [0, pi], and d_lambda <=
+        #                  pi*(n-1)/n by the shell-wrap guard above.
+        # The round-2 planar product (r * 2*lat_cell_km*cos) relied on
+        # incidental slack; this is the chord formula itself, so future
+        # lat_extent tuning cannot silently break certification.
         lat_extent = F.abs(F.col("origin_latitude")) + (r + 1) * 180.0 / n
         cos_worst = F.cos(F.least(lat_extent, F.lit(89.9)) * math.pi / 180.0)
-        guar = r * lat_cell_km * F.least(F.lit(1.0), 2.0 * cos_worst)
+        guar_lon = (
+            2.0 * EARTH_RADIUS_KM
+            * F.asin(cos_worst * math.sin(math.pi * r / n))
+        )
+        guar = F.least(F.lit(float(r) * lat_cell_km), guar_lon)
         kth = (
             ranked.groupBy("origin_id")
             .agg(F.max("distance_km").alias("_dk"), F.count("*").alias("_cnt"))
         )
         cand = ranked.join(kth, "origin_id")
-        done = (
+        done = _cached(  # read twice (anti-join + union)
             cand.where(
                 (F.col("_cnt") >= k)
                 & (F.col("_dk") <= guar)
                 & (lat_extent < 90.0)  # pole guard: never certify over-pole
             )
             .drop("_dk", "_cnt", "_oix", "_oiy")
-            .cache()  # read twice (anti-join + union)
         )
         results.append(done)
         done_ids = done.select("origin_id").distinct()
-        pending = pending.join(done_ids, "origin_id", "left_anti").cache()
+        pending = _cached(pending.join(done_ids, "origin_id", "left_anti"))
         acc = ranked.drop("knn_rank").join(done_ids, "origin_id", "left_anti")
         prev_r, r = r, r * 2
 
@@ -216,13 +249,60 @@ def knn_join_rings(
     return out
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def knn_join_rings_scoped(
+    origins: DataFrame, neighbors: DataFrame, k: int, **kw
+):
+    """Context-managed kNN rings join: yields the result DataFrame and
+    unpersists every engine-owned per-round cache block on exit —
+    materialize (collect/write) INSIDE the block. Long-lived sessions get
+    zero leaked storage without a global spark.catalog.clearCache()."""
+    caches: list[DataFrame] = []
+    try:
+        yield knn_join_rings(origins, neighbors, k, cache_registry=caches,
+                             **kw)
+    finally:
+        for df in caches:
+            df.unpersist()
+
+
+# stat-less leaves report spark.sql.defaultSizeInBytes (Long.MaxValue by
+# default) — any "size" past this is a placeholder, not a measurement
+_STATS_UNKNOWN_BYTES = 1 << 48
+
+
+def _session_broadcast_bytes(df: DataFrame, default: int = 64 << 20) -> int:
+    """Broadcast gate keyed off the session's own
+    spark.sql.autoBroadcastJoinThreshold (x6: parquet sizeInBytes is
+    compressed, Catalyst's knob is in-memory-ish) — a cluster tuned with a
+    small broadcast budget gets a proportionally conservative brute gate.
+    Falls back to 64 MiB when the conf is unset/disabled (-1)."""
+    try:
+        raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s = str(raw).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s[: -len(suf)], m
+                break
+        v = int(float(s)) * mult
+        return v * 6 if v > 0 else default
+    except Exception:  # pragma: no cover - conf surface differences
+        return default
+
+
 def knn_join(
     origins: DataFrame,
     neighbors: DataFrame,
     k: int,
     strategy: str = "auto",
     broadcast_threshold_rows: int = 5_000_000,
-    broadcast_threshold_bytes: int = 64 << 20,
+    broadcast_threshold_bytes: int | None = None,
     **kw,
 ) -> DataFrame:
     if strategy == "brute":
@@ -232,9 +312,15 @@ def knn_join(
     # auto: plan statistics (no job — an exact count() here would eagerly
     # execute at plan-build time). Gate on BYTES when only file sizes are
     # known: parquet sizeInBytes is compressed, so a row estimate derived
-    # from it under-counts 10-20x; 64 MiB compressed stays comfortably
-    # inside executor broadcast budgets even at ~20x expansion.
+    # from it under-counts 10-20x; the byte gate follows the session's
+    # autoBroadcastJoinThreshold (x6 for compression) so small-executor
+    # clusters configured with a low broadcast budget never get a ~GB
+    # in-memory broadcast from a "small" file.
+    if broadcast_threshold_bytes is None:
+        broadcast_threshold_bytes = _session_broadcast_bytes(neighbors)
     rows, size = _plan_stats(neighbors)
+    if size is not None and size >= _STATS_UNKNOWN_BYTES:
+        size = None  # defaultSizeInBytes placeholder, not a measurement
     if rows is None and size is None:
         rows = neighbors.count()
     small = (

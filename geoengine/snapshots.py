@@ -20,10 +20,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -57,44 +59,63 @@ def run_with_checkpoint(
     root: str,
     n_buckets: int,
     lineage: dict | None = None,
+    max_parallel: int = 4,
 ) -> dict:
     """Execute build(bucket_id) -> DataFrame for every uncommitted bucket.
 
     Each bucket writes to a tmp dir then renames (atomic on one FS) and is
     recorded in the manifest with row count, wall seconds, and caller
     lineage. Returns the final manifest.
+
+    Scale posture: buckets are INDEPENDENT Spark jobs, so up to
+    ``max_parallel`` are submitted concurrently from a thread pool (Spark's
+    scheduler interleaves their stages across the cluster — a serial driver
+    loop would leave executors idle between bucket tails). The row count
+    rides the write job itself via ``df.observe`` — no re-read of the
+    written files (the round-2 version paid a full second scan per bucket).
+    Manifest commits are serialized by a lock; the manifest stays the
+    single source of truth for resume, so a crash mid-wave loses only the
+    buckets whose rename had not yet happened.
     """
     os.makedirs(root, exist_ok=True)
-    m = read_manifest(root)
-    for b in range(n_buckets):
-        if str(b) in m["buckets"]:
-            continue
+    committed = set(read_manifest(root)["buckets"])
+    todo = [b for b in range(n_buckets) if str(b) not in committed]
+    lock = threading.Lock()
+
+    def run_bucket(b: int) -> None:
         t0 = time.time()
-        df = build(b)
+        obs = Observation()
+        df = build(b).observe(obs, F.count(F.lit(1)).alias("rows"))
         final = os.path.join(root, f"bucket={b}")
         tmp = os.path.join(root, f"_tmp_bucket={b}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(tmp)
-        n_rows = (
-            SparkSession.getActiveSession()
-            .read.parquet(tmp)
-            .count()
-        )
+        n_rows = int(obs.get["rows"])
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
-        _commit_bucket(
-            root,
-            b,
-            {
-                "rows": n_rows,
-                "seconds": round(time.time() - t0, 3),
-                "lineage": lineage or {},
-            },
-        )
-        m = read_manifest(root)
-    return m
+        with lock:
+            _commit_bucket(
+                root,
+                b,
+                {
+                    "rows": n_rows,
+                    "seconds": round(time.time() - t0, 3),
+                    "lineage": lineage or {},
+                },
+            )
+
+    if todo:
+        if max_parallel <= 1:
+            for b in todo:
+                run_bucket(b)
+        else:
+            with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+                # materialize so the first exception propagates (fail fast;
+                # already-renamed buckets stay committed for resume)
+                list(pool.map(run_bucket, todo))
+    return read_manifest(root)
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
