@@ -460,7 +460,11 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash block-permutation candidates -> exact word-Jaccard verify.
     At the 0.97 threshold every qualifying pair has simhash hamming 0 on
     this corpus (measured; pigeonhole guarantees recall up to hamming 7),
-    so the output equals the exact pair set (oracle-checked)."""
+    so the output equals the exact pair set (oracle-checked). The regime
+    itself is asserted loudly by
+    tests/test_text.py::test_simhash_regime_qualifying_pairs_hamming_lt_8
+    — a corpus/featurizer drift fails there with the hamming distribution
+    in hand, not as an opaque gate hash mismatch."""
     from geoengine.text import lsh_verified_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -37,13 +37,16 @@ def search(
     half_bits: int | None = None,
     strategy: str = "auto",
     include_search_space: bool = True,
-    timing: bool = True,
+    timing: bool = False,
 ) -> DataFrame:
     """Radius-neighborhood search -> nested SearchResult rows.
 
-    ``timing=True`` (parity: the reference always emits searchTimerSeconds)
-    stamps real per-origin amortized wall-clock; False emits 0.0 for
-    byte-deterministic output."""
+    The searchTimerSeconds column is always present (schema parity — the
+    reference always emits it). Default ``timing=False`` keeps the plan
+    pure-JVM (column is 0.0; wrap the action with metrics.JobTimer for
+    free job-level timing); ``timing=True`` is the per-row parity mode —
+    real amortized wall-clock per origin at the cost of an Arrow
+    mapInPandas tail stage."""
     o = coerce_points(origins)
     nb = coerce_points(neighbors)
     pairs = radius_join_pairs(

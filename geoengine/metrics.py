@@ -43,6 +43,54 @@ def with_batch_timing(df: DataFrame, col: str = "searchTimerSeconds") -> DataFra
     return df.mapInPandas(gen, schema=schema)
 
 
+class JobTimer:
+    """Free-path search timing: an ``Observation`` riding the result plan
+    (CollectMetrics — evaluated alongside the caller's own action, NO extra
+    stage, no Arrow round-trip) plus driver wall-clock around the
+    materialization. The per-origin figure is elapsed / n_origins — the
+    same amortized quantity ``with_batch_timing`` stamps per row, measured
+    once at the job level instead of per Arrow batch.
+
+    Usage:
+        timer = JobTimer()
+        df = timer.attach(search(o, nb, 500.0))   # wrap the plan
+        with timer:
+            df.write.parquet(out)                 # any action
+        timer.summary(spark).show()               # n_origins, s_per_origin
+    """
+
+    def __init__(self) -> None:
+        from pyspark.sql import Observation
+
+        self.observation = Observation()
+        self.seconds: float | None = None
+        self._t0: float | None = None
+
+    def attach(self, df: DataFrame, count_col: str = "n_rows") -> DataFrame:
+        return df.observe(
+            self.observation, F.count(F.lit(1)).alias(count_col)
+        )
+
+    def __enter__(self) -> "JobTimer":
+        import time
+
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        import time
+
+        self.seconds = time.perf_counter() - self._t0
+
+    def summary(self, spark) -> DataFrame:
+        n = int(self.observation.get["n_rows"])
+        per = (self.seconds / n) if (self.seconds and n) else None
+        return spark.createDataFrame(
+            [(n, float(self.seconds or 0.0), per)],
+            schema="n_origins long, total_s double, s_per_origin double",
+        )
+
+
 def search_timer_summary(results: DataFrame,
                          col: str = "searchTimerSeconds") -> DataFrame:
     """The reference notebook's tuning aggregates

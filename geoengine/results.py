@@ -8,11 +8,13 @@ One row per origin:
              ordered by distance asc (reference Ordering, GeoSearch.scala:70-71)
   searchSpace: the reference's binary-geohash prefix string (parity render)
   searchTimerSeconds: per-origin wall clock in the reference (SparkDS.scala:71).
-             Emitted as REAL per-row amortized pipeline wall-clock via
-             metrics.with_batch_timing (timing=True, the default — the
-             reference always emits it); timing=False emits 0.0 for
-             deterministic snapshots. The notebook's avg/median/p75 tuning
-             queries run via metrics.search_timer_summary.
+             Column always present (schema parity). timing=False (default)
+             emits 0.0 and keeps the plan pure-JVM — job-level timing is
+             free via metrics.JobTimer; timing=True is the per-row parity
+             mode (REAL amortized wall-clock via metrics.with_batch_timing,
+             an Arrow tail stage). The notebook's avg/median/p75 tuning
+             queries run via metrics.search_timer_summary on parity-mode
+             output.
 """
 
 from __future__ import annotations
@@ -30,13 +32,16 @@ def assemble_search_results(
     radius: float | None = None,
     bits: int = 40,
     include_search_space: bool = True,
-    timing: bool = True,
+    timing: bool = False,
 ) -> DataFrame:
     """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows.
 
-    ``timing=True`` stamps real per-origin amortized pipeline wall-clock
-    into searchTimerSeconds (metrics.with_batch_timing); ``False`` emits a
-    deterministic 0.0 (for byte-stable snapshots/oracles)."""
+    ``timing=False`` (default) emits a deterministic 0.0 searchTimerSeconds
+    — schema parity with the reference, pure-JVM plan (no Python stage);
+    job-level timing is free via metrics.JobTimer. ``timing=True`` is the
+    per-row PARITY mode: real per-origin amortized pipeline wall-clock via
+    metrics.with_batch_timing (an Arrow mapInPandas tail stage — pay it
+    only when per-row timers are the point)."""
     neigh = F.struct(
         F.struct(
             F.col("neighbor_id").alias("id"),

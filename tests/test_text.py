@@ -150,3 +150,39 @@ def test_shingles_invariant_under_duplication(t):
     # text always yields identical simhash
     a = text.simhash_batch([t, t])
     assert a[0] == a[1]
+
+
+def test_simhash_regime_qualifying_pairs_hamming_lt_8(spark):
+    # ADVICE r2: q_simhash_near_dup's exactness claim rests on every
+    # qualifying (word-jaccard >= 0.97) pair of the GATE corpus having
+    # simhash hamming < 8 — the block_bits=8 pigeonhole guarantee only
+    # covers hamming 0..7. Measure the actual hamming distribution so a
+    # fixture/featurizer change that leaves the regime fails HERE with the
+    # distribution in hand, not as an opaque gate hash mismatch.
+    import os
+
+    from pyspark.sql import functions as F
+
+    gate_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{gate_dir}/documents.parquet"):
+        pytest.skip("gate fixture not present")
+    docs = spark.read.parquet(f"{gate_dir}/documents.parquet")
+    # qualifying set via the minhash path (recall 1.0 at this threshold)
+    qual = text.lsh_verified_jaccard_pairs(
+        docs, threshold=0.97, prefilter="minhash"
+    )
+    sims = docs.select(
+        F.col("doc_id").alias("doc"),
+        text.make_simhash_from_hashes_udf()(text.word_hashes_expr()).alias("sh"),
+    )
+    ham = (
+        qual.join(sims.select(F.col("doc").alias("doc1"),
+                              F.col("sh").alias("s1")), "doc1")
+        .join(sims.select(F.col("doc").alias("doc2"),
+                          F.col("sh").alias("s2")), "doc2")
+        .select(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("h"))
+        .toPandas()["h"]
+    )
+    assert len(ham) > 0
+    dist = ham.value_counts().to_dict()
+    assert int(ham.max()) < 8, f"hamming regime broken: {dist}"
