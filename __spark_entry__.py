@@ -29,6 +29,23 @@ from geoengine.knn import knn_join
 from geoengine.results import assemble_search_results
 from geoengine.topk import top_n_per_origin
 
+def _sweep_stale_scratch(prefix: str, max_age_s: float = 3600.0) -> None:
+    """Remove per-application scratch dirs older than an hour: live
+    concurrent sessions are untouched (their dirs are fresh), dead
+    sessions stop leaking /tmp space across repeated gate/bench runs."""
+    import glob
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_s
+    for d in glob.glob(prefix + "*"):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 RADIUS_KM = 500.0
 KNN_K = 3
 CELL_BITS = 30
@@ -474,12 +491,14 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the documents table: deterministic
     hashed-TF featurizer (md5-bucket counts, pure Columns — DuckDB twin)
-    -> PROVABLY complete inverted-index prefilter (cosine >= t forces a
-    shared dim with both normalized weights >= t/dim, so recall is 1.0 by
-    mathematics at EVERY scale — no measured-recall caveat) -> exact
-    cosine verify on collisions. Oracle = all-pairs cosine over the same
-    featurizer. The hyperplane-LSH variant (cosine_near_dup_pairs) is the
-    approximate fast path, covered by pytest recall tests."""
+    -> PROVABLY complete suffix-norm prefix filter (each vector indexes
+    only its minimal heavy prefix with excluded l2 mass <= t/2; a pair
+    sharing NO indexed dim has cosine <= ||x_suf|| + ||y_suf|| < t by
+    Cauchy-Schwarz — proof in similarity.near_dup_prefix_index — so recall
+    is 1.0 by mathematics at EVERY scale, signed vectors included) ->
+    exact cosine verify on collisions. Oracle = all-pairs cosine over the
+    same featurizer. The hyperplane-LSH variant (cosine_near_dup_pairs) is
+    the approximate fast path, covered by pytest recall tests."""
     from geoengine.similarity import cosine_near_dup_exact, hashed_tf_vectors
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -619,7 +638,9 @@ def q_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions on one host must not clobber each other's manifest/buckets
     # (the dir must outlive this function — the returned DataFrame reads it
     # lazily — so a per-session deterministic path, wiped on entry, rather
-    # than an unreclaimed mkdtemp per call)
+    # than an unreclaimed mkdtemp per call); dead sessions' dirs are swept
+    # by age so repeated runs don't fill /tmp
+    _sweep_stale_scratch("/tmp/geoeng_snapshot_gate_")
     root = f"/tmp/geoeng_snapshot_gate_{spark.sparkContext.applicationId}"
     shutil.rmtree(root, ignore_errors=True)
     origins = datasets.customer_points(spark, sf_dir)
@@ -665,7 +686,9 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit('a,"b"\n'), F.col("text")).alias("hostile_text"),
     )
-    # application-id suffix: concurrent sessions must not clobber the dir
+    # application-id suffix: concurrent sessions must not clobber the dir;
+    # age-swept so repeated sessions don't accumulate in /tmp
+    _sweep_stale_scratch("/tmp/geoeng_csv_roundtrip_")
     out_dir = f"/tmp/geoeng_csv_roundtrip_{spark.sparkContext.applicationId}"
     (
         hostile.write.mode("overwrite")

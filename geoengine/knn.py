@@ -10,9 +10,10 @@ Strategies:
            ring's guaranteed-covered circle, re-probe the rest at 2r
            (driver loop, anti-join), brute-force fallback for stragglers.
            Exactness argument: a point outside Chebyshev ring r is at least
-           r * min(cell_lat_km, cell_lon_km(|lat|+ring extent)) away, so any
-           origin whose k-th distance is below that bound cannot gain a
-           closer neighbor from outside the ring.
+           min(r * cell_lat_km, 2R*asin(cos(band_edge)*sin(pi*r/n))) away
+           (meridian arc / exact great-circle chord; proof at the bound's
+           construction site below), so any origin whose k-th distance is
+           below that bound cannot gain a closer neighbor from outside.
 
 Both return identical results (property-tested); strategy='auto' picks
 brute when the neighbor side is small.
@@ -79,11 +80,13 @@ def _plan_stats(df: DataFrame) -> tuple[int | None, int | None]:
 
 def estimated_rows(df: DataFrame, assumed_row_bytes: int = 48) -> int | None:
     """Plan-statistics row estimate; log-scale accuracy only (strategy and
-    resolution choices, never correctness)."""
+    resolution choices, never correctness). Placeholder sizes from
+    stat-less leaves (spark.sql.defaultSizeInBytes, ~Long.MaxValue) are
+    treated as unknown, not as a measurement."""
     rows, size = _plan_stats(df)
     if rows is not None:
         return rows
-    if size is None:
+    if size is None or size >= _STATS_UNKNOWN_BYTES:
         return None
     return max(size // assumed_row_bytes, 1)
 
@@ -104,7 +107,9 @@ def knn_join_rings(
     (top-k of a union == top-k of per-part top-k, so nothing is lost and no
     cell is ever joined twice). Certification safety:
       - ring bound: a point outside Chebyshev ring r is at least
-        r * min(cell_lat_km, 2*cell_lon_km(worst lat)) away;
+        min(r * cell_lat_km, 2R*asin(cos(lat_extent)*sin(pi*r/n))) away —
+        the exact meridian-arc / great-circle-chord pair, derivation in
+        the loop body below (no planar approximation, no incidental slack);
       - pole guard: origins whose ring extent reaches a pole are never
         certified (over-the-pole neighbors break the grid-separation bound)
         and fall through to the exact fallback;
@@ -207,8 +212,12 @@ def knn_join_rings(
         # The round-2 planar product (r * 2*lat_cell_km*cos) relied on
         # incidental slack; this is the chord formula itself, so future
         # lat_extent tuning cannot silently break certification.
+        # NO clamp on lat_extent: past 90 deg the cosine goes negative, the
+        # asin goes negative, and guar_lon refuses certification by itself —
+        # a clamp at 89.9 would INFLATE the bound for origins whose band
+        # edge falls in (89.9, 90) and over-certify near the poles
         lat_extent = F.abs(F.col("origin_latitude")) + (r + 1) * 180.0 / n
-        cos_worst = F.cos(F.least(lat_extent, F.lit(89.9)) * math.pi / 180.0)
+        cos_worst = F.cos(lat_extent * math.pi / 180.0)
         guar_lon = (
             2.0 * EARTH_RADIUS_KM
             * F.asin(cos_worst * math.sin(math.pi * r / n))
@@ -274,12 +283,15 @@ def knn_join_rings_scoped(
 _STATS_UNKNOWN_BYTES = 1 << 48
 
 
-def _session_broadcast_bytes(df: DataFrame, default: int = 64 << 20) -> int:
+def _session_broadcast_bytes(df: DataFrame, cap: int = 64 << 20) -> int:
     """Broadcast gate keyed off the session's own
     spark.sql.autoBroadcastJoinThreshold (x6: parquet sizeInBytes is
-    compressed, Catalyst's knob is in-memory-ish) — a cluster tuned with a
-    small broadcast budget gets a proportionally conservative brute gate.
-    Falls back to 64 MiB when the conf is unset/disabled (-1)."""
+    compressed, Catalyst's knob is in-memory-ish) but HARD-CAPPED at
+    64 MiB compressed — the gate forces an explicit F.broadcast and
+    compressed parquet can expand 10-20x in memory, so a session tuned
+    with a big threshold must not drag the gate past ~1.3 GB of build-side
+    heap. A small session threshold shrinks the gate proportionally; an
+    unset/disabled (-1) conf falls back to the cap."""
     try:
         raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         s = str(raw).strip().lower()
@@ -291,9 +303,9 @@ def _session_broadcast_bytes(df: DataFrame, default: int = 64 << 20) -> int:
                 s, mult = s[: -len(suf)], m
                 break
         v = int(float(s)) * mult
-        return v * 6 if v > 0 else default
+        return min(v * 6, cap) if v > 0 else cap
     except Exception:  # pragma: no cover - conf surface differences
-        return default
+        return cap
 
 
 def knn_join(
@@ -322,7 +334,12 @@ def knn_join(
     if size is not None and size >= _STATS_UNKNOWN_BYTES:
         size = None  # defaultSizeInBytes placeholder, not a measurement
     if rows is None and size is None:
-        rows = neighbors.count()
+        # stat-less source (JDBC/RDD-backed leaf): no eager count HERE —
+        # route conservatively to rings (broadcasting an unknown-size side
+        # is the unsafe direction). Rings pays one count() of the neighbor
+        # side to size half_bits — genuinely required; pass half_bits +
+        # neighbor_count to make the whole path job-free at plan time.
+        return knn_join_rings(origins, neighbors, k, **kw)
     small = (
         rows <= broadcast_threshold_rows
         if rows is not None

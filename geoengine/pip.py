@@ -66,9 +66,11 @@ def _pip_udf():
         rings_lat: pd.Series, rings_lon: pd.Series,
     ) -> pd.Series:
         """Batch test: rows carry their (joined) polygon's rings. The batch
-        is grouped by ``pid`` — the polygon key is already on the row from
-        the candidate join, so keying is O(1) per row (the round-2 version
-        hashed the full ring bytes per row, O(vertices))."""
+        is grouped by ``pid`` — a GEOMETRY key computed once per polygon on
+        the (small) polygon side before the join, so keying is O(1) per
+        candidate row (the round-2 version hashed the full ring bytes per
+        row, O(vertices)); being content-derived it cannot conflate two
+        table rows that share a user poly_id but differ in geometry."""
         out = np.zeros(len(lat), dtype=bool)
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
@@ -108,6 +110,11 @@ def points_in_multipolygons(
     flat = f"flatten({rings_col})"
     polys = polygons.select(
         poly_id,
+        # content-derived batch-group key, computed ONCE per polygon row on
+        # the small build side: duplicate poly_id values with different
+        # geometry stay distinct groups in the UDF (md5 of the full vertex
+        # JSON — a collision needs two 128-bit-equal distinct geometries)
+        F.md5(F.to_json(F.col(rings_col))).alias("_geom_key"),
         F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lat))")
         .alias("_rlat"),
         F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lon))")
@@ -137,13 +144,13 @@ def points_in_multipolygons(
             ),
         )
         .withColumn("gkey", exprs.grid_key(F.col("_gx"), F.col("_gy"), half_bits))
-        .select(poly_id, "_rlat", "_rlon", "gkey")
+        .select(poly_id, "_geom_key", "_rlat", "_rlon", "gkey")
     )
     pts = with_grid_cell(points, half_bits)
     cand = pts.join(cov, "gkey")
     hit = cand.where(
         _pip_udf()(
-            F.col("latitude"), F.col("longitude"), F.col(poly_id),
+            F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
             F.col("_rlat"), F.col("_rlon"),
         )
     )

@@ -221,19 +221,65 @@ def cosine_topk_ivf(
     the scale lever is redundancy, not seeding — n_assign=3 reaches ~0.88
     at the same probe budget (curve in BENCH.md). EXACT for
     n_probe == n_centroids with n_assign=1 (every cell probed — the
-    oracle-certified configuration)."""
+    oracle-certified configuration).
+
+    One-shot convenience over build_ivf_index + cosine_topk_ivf_prebuilt —
+    at scale, build the index once, persist it (write bucketed by cell),
+    and run query batches against it without repaying the codebook."""
+    centroids, indexed = build_ivf_index(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters, n_assign=n_assign, seed=seed,
+    )
+    return cosine_topk_ivf_prebuilt(
+        queries, centroids, indexed, k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, dedup=n_assign > 1,
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+    n_assign: int = 1,
+    seed: int = 7,
+) -> tuple[np.ndarray, DataFrame]:
+    """Pay the IVF build once: (codebook, indexed corpus).
+
+    The codebook is k-means++ sample-seeded + ``refine_iters`` distributed
+    Lloyd passes; the returned DataFrame is (neighbor_id, cv, cell) with
+    each corpus vector in its ``n_assign`` nearest cells. Persist it
+    partitioned/bucketed by ``cell`` so every later query batch equi-joins
+    against co-located inverted lists with no build-side shuffle; store the
+    tiny codebook alongside (np.save / a 2-column table)."""
     centroids = kmeans_pp_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
     )
     if refine_iters > 0:
         centroids = refine_centroids_lloyd(corpus, centroids, vec_col,
                                            refine_iters)
-
     assignA = make_centroid_assign_udf(centroids, n_assign)
-    assignP = make_centroid_assign_udf(centroids, n_probe)
-    c = corpus.select(
+    indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cell", F.explode(assignA(F.col("cv"))))
+    return centroids, indexed
+
+
+def cosine_topk_ivf_prebuilt(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    indexed: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    dedup: bool = True,
+) -> DataFrame:
+    """ANN query batch against a prebuilt IVF index (build_ivf_index or a
+    re-read persisted copy). Set ``dedup=False`` only when the index was
+    built with n_assign=1 (no pair can collide twice)."""
+    assignP = make_centroid_assign_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("cell", F.explode(assignP(F.col("qv"))))
@@ -241,8 +287,10 @@ def cosine_topk_ivf(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    pairs = q.join(c, "cell").where(F.col("query_id") != F.col("neighbor_id"))
-    if n_assign > 1:  # a pair can collide in several probed cells
+    pairs = q.join(indexed, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if dedup:  # a pair can collide in several probed cells
         pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     return (
         pairs.withColumn("cosine", sim)
@@ -392,6 +440,10 @@ def cosine_near_dup_exact(
     if dense_guard:
         import warnings
 
+        # the guard's two aggregates and the l/r self-join all consume the
+        # index — cache it so the normalize+posexplode+window pipeline runs
+        # once, not four times
+        buckets = buckets.cache()
         n_docs, bound = dense_candidate_bound(buckets)
         all_pairs = n_docs * (n_docs - 1) / 2
         if all_pairs > 0 and bound >= 0.5 * all_pairs:

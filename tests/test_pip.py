@@ -81,6 +81,32 @@ def test_holed_square_semantics(spark):
     assert set(got["point_id"]) == {"ring_zone"}
 
 
+def test_duplicate_poly_id_distinct_geometry(spark):
+    # regression (round-3 review): two table rows sharing poly_id but with
+    # DIFFERENT rings must each be evaluated against their own geometry —
+    # the batch group key is content-derived, not the bare poly_id
+    rect = lambda lo: [[{"lat": 40.0, "lon": lo}, {"lat": 40.0, "lon": lo + 10},
+                        {"lat": 50.0, "lon": lo + 10}, {"lat": 50.0, "lon": lo}]]
+    polys = spark.createDataFrame(
+        [("dup", rect(0.0)), ("dup", rect(100.0))],
+        schema=(
+            "poly_id string, "
+            "rings array<array<struct<lat:double, lon:double>>>"
+        ),
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["inFirst", "inSecond", "outBoth"],
+                "latitude": [45.0, 45.0, 45.0],
+                "longitude": [5.0, 105.0, 55.0],
+            }
+        )
+    ).coalesce(1)  # one Arrow batch: both geometries share the batch
+    got = points_in_multipolygons(pts, polys).toPandas()
+    assert sorted(got["point_id"]) == ["inFirst", "inSecond"]
+
+
 def test_multipolygons_match_bruteforce(spark):
     polys = fixtures.holed_polygons_table(spark, 9, seed=11)
     rng = np.random.default_rng(12)

@@ -99,3 +99,33 @@ def test_featurizer_plan_is_jvm_only(spark, sf_dir):
     for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert python_node not in p
     assert "HashAggregate" in p
+
+
+def test_multipolygon_pip_plan_shape(spark, sf_dir):
+    """Holed-polygon PIP: cell equi-join prefilter (never a cartesian
+    against the point table) and exactly ONE Python node — the final
+    ray-cast filter over collision survivors."""
+    from geoengine.fixtures import holed_polygons_table
+    from geoengine.pip import points_in_multipolygons
+
+    polys = holed_polygons_table(spark, 6, seed=9)
+    pts = datasets.customer_points(spark, sf_dir)
+    # simple mode: each physical node appears exactly once
+    p = _plan(spark, points_in_multipolygons(pts, polys), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("ArrowEvalPython") == 1  # only the ray-cast survives
+
+
+def test_near_dup_prefix_one_window_shuffle(spark, sf_dir):
+    """The suffix-norm prefix index costs one window over doc — the plan
+    must show a Window node and no Python anywhere (pure Column pipeline
+    all the way through the exact cosine verify)."""
+    from geoengine.similarity import cosine_near_dup_exact, hashed_tf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(spark, cosine_near_dup_exact(hashed_tf_vectors(docs), 0.95,
+                                           id_col="doc"))
+    assert "Window" in p
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in p

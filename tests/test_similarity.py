@@ -73,6 +73,29 @@ def test_ivf_full_probe_is_exact(spark):
     assert e == f
 
 
+def test_ivf_prebuilt_index_roundtrip(spark, tmp_path):
+    # build-once/query-many: persist the indexed corpus, re-read it, and the
+    # query batch must equal the one-shot cosine_topk_ivf result exactly
+    df, m = _clustered_vecs(spark, 300, n_clusters=8, seed=49)
+    one_shot = similarity.cosine_topk_ivf(
+        df, df, 3, n_centroids=12, n_probe=4, refine_iters=1, n_assign=2
+    ).toPandas()
+    centroids, indexed = similarity.build_ivf_index(
+        df, 12, refine_iters=1, n_assign=2
+    )
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(
+        str(tmp_path / "ivf")
+    )
+    reread = spark.read.parquet(str(tmp_path / "ivf"))
+    again = similarity.cosine_topk_ivf_prebuilt(
+        df, centroids, reread, 3, n_probe=4
+    ).toPandas()
+    key = lambda d: set(
+        zip(d["query_id"], d["neighbor_id"], d["sim_rank"])
+    )
+    assert key(again) == key(one_shot) and len(one_shot) > 0
+
+
 def test_cosine_near_dup_guarantees(spark):
     # LSH prefilter + exact verify: (a) NO false positives ever (the exact
     # cosine runs on every emitted pair), (b) exact-duplicate vectors are
