@@ -534,7 +534,7 @@ def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
@@ -542,7 +542,8 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """LSH-bucketed ANN: equi-join on hyperplane sign bucket with multi-probe
     (explode query bucket plus all single-bit flips). Approximate — recall
-    measured in tests, not guaranteed exact."""
+    measured in tests, not guaranteed exact. ``dim`` may stay None (lazy
+    seeded plane matrix per worker; no plan-build job)."""
     sig = make_hyperplane_sig_udf(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
