@@ -11,9 +11,17 @@ Runs the heavy-mode bench in fresh subprocesses (new JVM each) at 2, 8 and
     16-physical-core box (raw CPU gives only ~3.6x of the nominal 4x, i.e.
     a ~0.9 hardware ceiling), reported alongside for transparency.
 
+Steal robustness: this shared VM suffers intermittent EXTERNAL cpu steal
+(CLAUDE.md) and one 25-minute pass gives it a wide window to corrupt one
+leg. The level sequence therefore runs ``--rounds`` times (interleaved
+2,8,32,2,8,32 — steal at any moment hits at most one leg of one round) and
+each (query, level) takes the MIN across rounds of the in-run
+median-of-3: for a deterministic workload the min is the unbiased
+estimator under additive contention noise.
+
 Efficiency = (T_N / T_4N) / 4; results appended to BENCH.md.
 
-Run:  python tools/scaling_run.py [sf_dir]
+Run:  python tools/scaling_run.py [sf_dir] [--rounds N]
 """
 
 from __future__ import annotations
@@ -48,14 +56,38 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    results = {c: run_bench(c, sf_dir) for c in LEVELS}
+    rounds = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--rounds"):
+            rounds = int(a.split("=", 1)[1]) if "=" in a else int(
+                sys.argv[sys.argv.index(a) + 1]
+            )
 
+    # interleave levels across rounds so a steal episode hits at most one
+    # leg of one round; min across rounds per (query, level)
+    per_round = []
+    for _ in range(rounds):
+        per_round.append({c: run_bench(c, sf_dir) for c in LEVELS})
+    results = per_round[-1]  # rows_per_sec reporting uses the last round
+    tmin = {
+        c: {
+            q: min(r[c]["queries"][q] for r in per_round
+                   if q in r[c]["queries"])
+            for q in HEADLINE
+            if all(q in r[c]["queries"] for r in per_round)
+        }
+        for c in LEVELS
+    }
+
+    est = (f"min across {rounds} interleaved rounds of in-run median-of-3"
+           if rounds > 1 else "in-run median-of-3, single round")
     lines = [
         "",
-        f"## Scaling evidence (heavy-mode bench, same input: {sf_dir})",
+        f"## Scaling evidence (heavy-mode bench, same input: {sf_dir}; {est})",
         "",
         "N vs 4N cores per driver instruction; efficiency = (T_N / T_4N) / 4.",
         "local[2]->local[8] stays below the SMT knee (16 physical cores, 32",
@@ -67,7 +99,7 @@ def main() -> None:
     ]
     effs = {}
     for q in HEADLINE:
-        t = {c: results[c]["queries"].get(q) for c in LEVELS}
+        t = {c: tmin[c].get(q) for c in LEVELS}
         if not all(t.values()):
             continue
         e28 = (t[2] / t[8]) / 4
@@ -79,7 +111,7 @@ def main() -> None:
         )
     for c in LEVELS:
         lines.append(
-            f"\nThroughput @{c} cores: "
+            f"\nThroughput @{c} cores (last round): "
             + ", ".join(f"{k}={v}" for k, v in results[c]["rows_per_sec"].items())
         )
     lines.append("")
