@@ -506,6 +506,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_exact(vecs, 0.95, id_col="doc", dim=64)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (salted md5 bucket
+    — pure Column, rerun/backfill-stable) plus the per-split counts: both
+    the per-row assignment and the aggregate mix are oracle-certified."""
+    from geoengine.text import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep first 20 per source by doc_id) — the
+    anti-domination sampling op of a training mix; window row_number with
+    deterministic order, oracle-certified row-for-row."""
+    from geoengine.text import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, 20).select("doc_id", "source")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5-prefix int64, pure Column expression
     (oracle: identical DuckDB arithmetic)."""
@@ -873,6 +893,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "fingerprint": q_fingerprint,
+    "hash_split": q_hash_split,
+    "cap_per_group": q_cap_per_group,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "images_psnr": q_images_psnr,
@@ -1098,6 +1120,7 @@ def _sql_text_stats() -> str:
 def oracle_sql() -> dict[str, str]:
     from geoengine.fixtures import sql_audio_cols, sql_img_cols, sql_video_cols
     from geoengine.similarity import sql_hashed_tf
+    from geoengine.text import sql_hash_split
 
     aud = sql_audio_cols("i")
 
@@ -1239,6 +1262,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
             FROM documents
+        """,
+        "hash_split": (
+            f"SELECT doc_id, {sql_hash_split()} AS split FROM documents"
+        ),
+        "cap_per_group": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 20
         """,
         "token_regex": r"""
             SELECT doc_id,

@@ -243,6 +243,85 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "geoeng-split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    training-pipeline split, done content-stably so reruns, backfills and
+    late-arriving shards land every row in the SAME split (a random()
+    split is not reproducible and leaks across epochs/backfills).
+
+    bucket = md5(salt || id) mod 10^6 mapped through the cumulative
+    weights. md5 (not xxhash64) so any engine — the DuckDB oracle
+    included — reproduces the assignment bit-exactly; the salt keys the
+    split so two pipelines with different salts get independent splits.
+    Pure Column expression: no shuffle, no UDF, fully codegen."""
+    cum, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cum.append(acc)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                      .cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 1_000_000
+    ) / 1_000_000.0
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(cum)):
+        expr = F.when(bucket < edge, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def sql_hash_split(
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "geoeng-split-v1",
+) -> str:
+    """DuckDB twin of hash_split's bucket expression (same md5 prefix,
+    same modulus, same boundaries)."""
+    bucket = (
+        f"(CAST(('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) % 1000000) / 1000000.0e0"
+    )
+    cum, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cum.append(acc)
+    case = f"'{names[-1]}'"
+    for name, edge in zip(reversed(names[:-1]), reversed(cum)):
+        case = f"CASE WHEN {bucket} < {edge!r}e0 THEN '{name}' ELSE {case} END"
+    return case
+
+
+def cap_per_group(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most k rows per group (deterministic order) — the standard
+    per-domain/per-source cap that stops one crawler domain from dominating
+    a training mix. One window shuffle on the group key; at 100 TB the
+    group cardinality is huge (domains), so partitions stay balanced, and
+    hot groups cost only their own partition's sort."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

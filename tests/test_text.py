@@ -186,3 +186,42 @@ def test_simhash_regime_qualifying_pairs_hamming_lt_8(spark):
     assert len(ham) > 0
     dist = ham.value_counts().to_dict()
     assert int(ham.max()) < 8, f"hamming regime broken: {dist}"
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    import pandas as pd_
+
+    docs = spark.createDataFrame(
+        pd_.DataFrame({"doc_id": range(5000), "text": ["x"] * 5000})
+    )
+    a = text.hash_split(docs).toPandas().set_index("doc_id")["split"]
+    b = text.hash_split(docs).toPandas().set_index("doc_id")["split"]
+    assert (a.sort_index() == b.sort_index()).all()  # rerun-stable
+    frac = a.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # a different salt produces a DIFFERENT (independent) assignment
+    c = text.hash_split(docs, salt="other").toPandas().set_index("doc_id")["split"]
+    assert (a.sort_index() != c.sort_index()).any()
+
+
+def test_cap_per_group_semantics(spark):
+    import pandas as pd_
+
+    docs = spark.createDataFrame(
+        pd_.DataFrame(
+            {
+                "doc_id": range(100),
+                "source": [f"s{i % 3}" for i in range(100)],
+                "text": ["x"] * 100,
+            }
+        )
+    )
+    out = text.cap_per_group(docs, 5).toPandas()
+    sizes = out.groupby("source").size()
+    assert (sizes == 5).all()
+    # deterministic: the KEPT rows are each group's 5 smallest doc_ids
+    for s, grp in out.groupby("source"):
+        want = sorted(d for d in range(100) if f"s{d % 3}" == s)[:5]
+        assert sorted(grp["doc_id"]) == want

@@ -1,6 +1,12 @@
 """Local twin of the driver's correctness gate: run every queries() entry on
 Spark and its oracle_sql() on DuckDB at sf0.01, align columns by name, sort
 rows, and compare values. Run: python tools/check_oracle.py [sf_dir] [names...]
+
+--twice additionally re-runs every Spark query a second time IN THE SAME
+session and diffs run-1 vs run-2 — certifies the gate is idempotent when a
+driver invokes queries() repeatedly (catches state the stateful queries —
+snapshot resume, streaming memory sinks, scratch dirs — might leak between
+invocations).
 """
 
 from __future__ import annotations
@@ -61,8 +67,10 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--twice"]
+    twice = "--twice" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from geoengine.session import get_spark
@@ -96,13 +104,23 @@ def main() -> int:
             failures += 1
             continue
         errs = compare(name, a, b)
+        if not errs and twice:
+            try:
+                a2 = qs[name](spark, sf_dir).toPandas()
+                errs = [
+                    f"(idempotency) {x}"
+                    for x in compare(name, a, a2)
+                ]
+            except Exception as ex:
+                errs = [f"{name}: second in-session run error: {ex}"]
         if errs:
             failures += 1
             print(f"FAIL {name}:")
             for x in errs:
                 print("   ", x)
         else:
-            print(f"OK   {name}: {len(a)} rows")
+            print(f"OK   {name}: {len(a)} rows"
+                  + (" (idempotent x2)" if twice else ""))
     spark.stop()
     return 1 if failures else 0
 
