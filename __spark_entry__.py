@@ -526,6 +526,62 @@ def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, 20).select("doc_id", "source")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into 512-token bins per source (LLM
+    training-mix op): bin id = exclusive prefix token sum // 512 in
+    deterministic order — the DuckDB oracle reproduces every bin id via
+    the same window arithmetic."""
+    from geoengine.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, 512).select(
+        "doc_id", "source", "n_tokens", "bin"
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by frequency with a
+    deterministic tie-break — the tokenizer-vocab building block."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize kernel at the gate: block-mean area resize to 8x8
+    through mapInPandas. Self-verifying contract per row (the
+    images_phash pattern — pixels are worker-side RNG, so the oracle pins
+    booleans): output byte length == 8*8*3, and the resized global mean
+    stays within uint8-rounding distance (<= 1.0) of the original's —
+    block-mean preserves the mean exactly before rounding because every
+    fixture shape (16/24/32) divides evenly by 8."""
+    from geoengine.fixtures import images_table
+    from geoengine.images import resize_images, with_decode_stats
+
+    orig = with_decode_stats(images_table(spark, 500, partitions=8))
+    orig = orig.withColumnRenamed("px_mean", "mean_orig").drop("px_std")
+    res = resize_images(orig, 8, 8)
+    small = res.select(
+        "image_id",
+        "mean_orig",
+        F.col("bytes_resized").alias("bytes"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        F.lit("raw").alias("fmt"),
+    )
+    small = with_decode_stats(small)
+    return small.select(
+        "image_id",
+        (F.length("bytes") == 8 * 8 * 3).alias("size_ok"),
+        (F.abs(F.col("px_mean") - F.col("mean_orig")) <= 1.0).alias("mean_ok"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5-prefix int64, pure Column expression
     (oracle: identical DuckDB arithmetic)."""
@@ -895,6 +951,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "hash_split": q_hash_split,
     "cap_per_group": q_cap_per_group,
+    "pack_sequences": q_pack_sequences,
+    "vocab_topk": q_vocab_topk,
+    "images_resize": q_images_resize,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "images_psnr": q_images_psnr,
@@ -1273,6 +1332,32 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id ASC) AS rn
               FROM documents
             ) WHERE rn <= 20
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                                   ORDER BY doc_id ASC
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / 512.0e0) AS BIGINT) AS bin
+            FROM t
+        """,
+        "vocab_topk": """
+            SELECT tok, count(*) AS n
+            FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 50
+        """,
+        "images_resize": """
+            SELECT printf('img%010d', i) AS image_id,
+                   TRUE AS size_ok, TRUE AS mean_ok
+            FROM range(0, 500) t(i)
         """,
         "token_regex": r"""
             SELECT doc_id,

@@ -73,8 +73,17 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
 
 
 def resize_block_mean(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic area resize via index-mapped block mean (no PIL)."""
+    """Deterministic area resize (no PIL). When the shape divides evenly
+    it is a TRUE block mean (each output pixel = rint of its source
+    block's mean — global mean preserved to within +-0.5, the invariant
+    the images_resize gate certifies); otherwise a deterministic
+    index-mapped subsample fallback. Round-2 shipped the fallback for
+    every shape despite the name — fixed in round 3."""
     h, w = pixels.shape[:2]
+    if h % out_h == 0 and w % out_w == 0:
+        bh, bw = h // out_h, w // out_w
+        blocks = pixels.reshape(out_h, bh, out_w, bw, -1).astype(np.float64)
+        return np.rint(blocks.mean(axis=(1, 3))).astype(np.uint8)
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return pixels[ys][:, xs]

@@ -322,6 +322,36 @@ def cap_per_group(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous greedy sequence packing — the LLM-training op that
+    concatenates documents into ~budget-token bins. Within each group the
+    docs accumulate in deterministic order and bin id = exclusive prefix
+    token sum // budget (a doc straddling a boundary starts the next bin's
+    overflow — the contiguous approximation pipelines use at scale, since
+    exact bin packing is NP-hard and inherently sequential). One window
+    shuffle on the group key; token counts are the whitespace rule shared
+    with token_count so the DuckDB oracle reproduces every bin id."""
+    n_tokens = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), " ", "")) + 1
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return docs.withColumn(
+        "bin", F.floor((cum - n_tokens) / budget_tokens).cast("long")
+    ).withColumn("n_tokens", n_tokens)
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
