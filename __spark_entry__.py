@@ -912,6 +912,26 @@ def q_streaming_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, "geoeng_stream_radius", "append", d)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup certification: the documents table replayed
+    as an id-ordered 4-micro-batch stream through the stateful first-seen
+    operator (applyInPandasWithState, append mode) — the emitted keep-set
+    must equal the batch exact-dedup oracle exactly (state across
+    micro-batches suppresses every later duplicate)."""
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream, d = replay_parquet_stream(spark, docs, n_files=4,
+                                      order_col="doc_id")
+    out = streaming_exact_dedup(stream)
+    table = run_stream_to_memory(out, "geoeng_stream_dedup", "append", d)
+    return table.select("text_hash", F.col("keep_id").alias("min_doc_id"))
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -967,6 +987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     "streaming_radius": q_streaming_radius,
+    "streaming_dedup": q_streaming_dedup,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
     "csv_roundtrip": q_csv_roundtrip,
@@ -1395,6 +1416,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "streaming_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
         """,
         "streaming_user_totals": """
             SELECT user_id, count(*) AS n_events,

@@ -185,26 +185,35 @@ def main() -> None:
                 .select("query_id", "neighbor_id").collect())
         )
 
-        def recall(n_probe: int, n_assign: int) -> float:
-            approx = set(
-                map(
-                    tuple,
-                    cosine_topk_ivf(
-                        qs, emb, 3, n_centroids=16, n_probe=n_probe,
-                        refine_iters=2, n_assign=n_assign,
-                    ).select("query_id", "neighbor_id").collect(),
-                )
-            )
-            return round(len(exact & approx) / len(exact), 4)
-
         # recall curve at the headline redundancy, plus the single-assign
-        # reference point — the probe-budget trade a user actually tunes;
-        # the headline number IS the curve's n_probe=4 point (no extra run)
-        quality["ivf_recall_curve_n_assign3"] = {
-            str(p): recall(p, 3) for p in (1, 2, 4, 8)
-        }
+        # reference point — the probe-budget trade a user actually tunes.
+        # Build each index ONCE (build_ivf_index) and sweep n_probe against
+        # it — the build-once/query-many shape users run at scale, and it
+        # keeps the bench's untimed tail short on this steal-prone host.
+        from geoengine.similarity import build_ivf_index, cosine_topk_ivf_prebuilt
+
+        def recall_curve(n_assign: int, probes) -> dict[str, float]:
+            cent, indexed = build_ivf_index(
+                emb, 16, refine_iters=2, n_assign=n_assign
+            )
+            indexed = indexed.cache()
+            out = {}
+            for p in probes:
+                approx = set(
+                    map(
+                        tuple,
+                        cosine_topk_ivf_prebuilt(qs, cent, indexed, 3,
+                                                 n_probe=p)
+                        .select("query_id", "neighbor_id").collect(),
+                    )
+                )
+                out[str(p)] = round(len(exact & approx) / len(exact), 4)
+            indexed.unpersist()
+            return out
+
+        quality["ivf_recall_curve_n_assign3"] = recall_curve(3, (1, 2, 4, 8))
         quality["ivf_recall_at_3"] = quality["ivf_recall_curve_n_assign3"]["4"]
-        quality["ivf_recall_n_probe4_n_assign1"] = recall(4, 1)
+        quality["ivf_recall_n_probe4_n_assign1"] = recall_curve(1, (4,))["4"]
 
     total = round(sum(secs.values()), 3)
     rps = {

@@ -138,6 +138,43 @@ def stateful_user_totals(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — keep each content hash's FIRST-SEEN row
+    across micro-batches (the training-pipeline dedup run over a live
+    document feed instead of a batch table). State per md5(text) key is a
+    single boolean-equivalent (the kept id); later arrivals of the same
+    content emit nothing (append semantics). Within one micro-batch the
+    earliest id wins deterministically, so a feed replayed in id order
+    emits exactly the batch exact_dedup keep-set."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ids = [pdf[id_col] for pdf in pdfs]
+        if state.exists:
+            yield pd.DataFrame({"text_hash": [], "keep_id": []}).astype(
+                {"text_hash": str, "keep_id": "int64"}
+            )
+            return
+        first = int(pd.concat(ids).min())
+        state.update((first,))
+        yield pd.DataFrame({"text_hash": [key[0]], "keep_id": [first]})
+
+    keyed = stream.withColumn(
+        "_h", F.md5(F.col(text_col).cast("binary"))
+    )
+    return keyed.groupBy(F.col("_h")).applyInPandasWithState(
+        fn,
+        outputStructType="text_hash string, keep_id long",
+        stateStructType="keep long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_gap(
     stream: DataFrame,
     gap_minutes: float = 30.0,

@@ -89,6 +89,41 @@ def test_streaming_radius_equals_batch(spark, sf_dir):
     assert g == w and len(w) > 0
 
 
+def test_streaming_exact_dedup_suppresses_cross_batch_dups(spark):
+    # duplicates far apart in id space land in DIFFERENT micro-batches
+    # (id-ordered range replay): state must suppress the later copy, and
+    # the emitted keep-set must equal the batch exact dedup
+    import pandas as pd
+
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+    from geoengine.text import exact_dedup
+
+    n = 400
+    texts = [f"unique doc {i}" if i % 4 else f"dup family {i % 8}"
+             for i in range(n)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "text": texts})
+    )
+    stream, d = replay_parquet_stream(spark, docs, n_files=4,
+                                      order_col="doc_id")
+    got = run_stream_to_memory(
+        streaming_exact_dedup(stream), "t_stream_dedup", "append", d
+    ).toPandas()
+    want = exact_dedup(docs).toPandas()
+    assert len(got) == len(want) < n  # real duplicates were suppressed
+    g = set(zip(got["text_hash"], got["keep_id"]))
+    w = set(zip(want["text_hash"], want["keep_id"]))
+    assert g == w
+    # each dup family spans the id range -> copies in several micro-batches,
+    # proving the suppression crossed batch boundaries
+    fam = [i for i in range(n) if not i % 4]
+    assert max(fam) - min(fam) > n // 2
+
+
 def _events_stream(spark, sf_dir, tmp_path, files=4, time_ordered=False):
     """Replay the events table as a file stream, one micro-batch per file.
     time_ordered=True delivers micro-batches in event-time order (the
