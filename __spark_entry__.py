@@ -912,6 +912,38 @@ def q_streaming_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, "geoeng_stream_radius", "append", d)
 
 
+def q_radius_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 at the gate: the radius join against a PRE-BUCKETED catalog
+    index table (write once bucketed+sorted by cell key; the probe join
+    elides the build-side Exchange — plan-asserted in pytest) must equal
+    the plain radius_pairs oracle. This certifies the pay-the-shuffle-once
+    scale path end to end, not just its plan shape."""
+    import re
+
+    from geoengine.index import (
+        radius_join_pairs_bucketed,
+        write_bucketed_neighbor_index,
+    )
+    from geoengine.join import pick_half_bits
+
+    # app-id-derived table name: concurrent gate sessions share the
+    # warehouse dir, so each needs its own table files
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    table = f"geoeng_gate_nbr_idx_{app}"
+    hb = pick_half_bits(RADIUS_KM)
+    write_bucketed_neighbor_index(
+        datasets.supplier_points(spark, sf_dir), table, hb, n_buckets=16
+    )
+    pairs = radius_join_pairs_bucketed(
+        spark, datasets.customer_points(spark, sf_dir), table, RADIUS_KM, "km"
+    )
+    return pairs.select(
+        "origin_id",
+        F.col("neighbor_id"),
+        F.round("distance_km", 6).alias("dist_km"),
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup certification: the documents table replayed
     as an id-ordered 4-micro-batch stream through the stateful first-seen
@@ -962,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_holes": q_pip_holes,
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
+    "radius_bucketed": q_radius_bucketed,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
@@ -1236,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,
+        "radius_bucketed": _SQL_PAIRS,
         "embedding_near_dup": f"""
             WITH v AS ({sql_hashed_tf()}),
             p AS (

@@ -33,20 +33,56 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, "manifest.json")
 
 
-def read_manifest(root: str) -> dict:
-    p = _manifest_path(root)
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """The live manifest, or a historical snapshot version (time travel
+    over COMMIT MEMBERSHIP: every bucket commit writes manifest-v{n}.json,
+    so version n is the table as of its n-th commit — the Iceberg
+    snapshot-history seam. Data files are not themselves versioned: a
+    bucket recomputed after a crash replaces its files, so historical
+    versions see current file contents for still-live buckets, exactly
+    like an Iceberg table after a rewrite without retained snapshots)."""
+    p = (_manifest_path(root) if version is None
+         else os.path.join(root, f"manifest-v{int(version)}.json"))
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"buckets": {}, "schema_version": 1}
+    if version is not None:
+        raise FileNotFoundError(f"no snapshot version {version} under {root}")
+    return {"buckets": {}, "schema_version": 1, "version": 0}
+
+
+def snapshot_versions(root: str) -> list[dict]:
+    """Commit history: one row per snapshot version (version, n_buckets,
+    committed_utc of the commit that created it)."""
+    out = []
+    m = read_manifest(root)
+    for v in range(1, int(m.get("version", 0)) + 1):
+        mv = read_manifest(root, version=v)
+        out.append(
+            {
+                "version": v,
+                "n_buckets": len(mv["buckets"]),
+                "committed_utc": mv.get("committed_utc"),
+            }
+        )
+    return out
 
 
 def _commit_bucket(root: str, bucket: int, meta: dict) -> None:
     m = read_manifest(root)
     m["buckets"][str(bucket)] = meta
+    m["version"] = int(m.get("version", 0)) + 1
+    m["committed_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
+    body = json.dumps(m, indent=1, sort_keys=True)
     tmp = _manifest_path(root) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
+        f.write(body)
+    # history BEFORE the live pointer: a crash between the two writes
+    # loses at most the convenience copy, never the live manifest
+    with open(os.path.join(root, f"manifest-v{m['version']}.json"), "w") as f:
+        f.write(body)
     os.replace(tmp, _manifest_path(root))
 
 
@@ -118,9 +154,12 @@ def run_with_checkpoint(
     return read_manifest(root)
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
-    """Union of all committed buckets."""
-    m = read_manifest(root)
+def read_snapshot(spark: SparkSession, root: str,
+                  version: int | None = None) -> DataFrame:
+    """Union of all committed buckets — of the live manifest, or of a
+    historical snapshot ``version`` (time travel over commit membership;
+    see read_manifest for the data-file caveat)."""
+    m = read_manifest(root, version=version)
     paths = [os.path.join(root, f"bucket={b}") for b in sorted(m["buckets"], key=int)]
     if not paths:
         raise FileNotFoundError(f"no committed buckets under {root}")

@@ -59,3 +59,42 @@ def test_resume_skips_completed_and_matches_full(spark, sf_dir, tmp_path):
     assert len(metrics) == 4
     assert (metrics["rows"] > 0).any()
     assert metrics["seconds"].min() >= 0
+
+
+def test_snapshot_time_travel_versions(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "snap_tt")
+    n = 4
+    build = _build_fn(spark, sf_dir, n)
+    # serial commits -> deterministic version order 1..4
+    snapshots.run_with_checkpoint(build, root, n, max_parallel=1)
+
+    hist = snapshots.snapshot_versions(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["n_buckets"] for h in hist] == [1, 2, 3, 4]
+    assert all(h["committed_utc"] for h in hist)
+
+    # version 2 = table as of the second commit: buckets 0 and 1 only
+    v2 = snapshots.read_snapshot(spark, root, version=2).toPandas()
+    assert set(v2["flag"]) == {0, 1}
+    live = snapshots.read_snapshot(spark, root).toPandas()
+    assert set(live["flag"]) == {0, 1, 2, 3}
+    full = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert len(live) == full.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshots.read_manifest(root, version=99)
+
+
+def test_snapshot_versions_wave_parallel(spark, sf_dir, tmp_path):
+    # parallel commits: order is nondeterministic but every commit still
+    # creates exactly one version and the final version is the live state
+    root = str(tmp_path / "snap_wave")
+    build = _build_fn(spark, sf_dir, 4)
+    m = snapshots.run_with_checkpoint(build, root, 4, max_parallel=4)
+    assert m["version"] == 4
+    hist = snapshots.snapshot_versions(root)
+    assert [h["n_buckets"] for h in hist] == [1, 2, 3, 4]
+    last = snapshots.read_manifest(root, version=4)
+    assert last["buckets"] == m["buckets"]
