@@ -927,7 +927,11 @@ def q_radius_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoengine.join import pick_half_bits
 
     # app-id-derived table name: concurrent gate sessions share the
-    # warehouse dir, so each needs its own table files
+    # warehouse dir, so each needs its own table files; dead sessions'
+    # table dirs are age-swept like the /tmp scratch roots
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    if wh:
+        _sweep_stale_scratch(os.path.join(wh, "geoeng_gate_nbr_idx_"))
     app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
     table = f"geoeng_gate_nbr_idx_{app}"
     hb = pick_half_bits(RADIUS_KM)
