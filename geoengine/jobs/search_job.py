@@ -61,7 +61,10 @@ def main() -> None:
         )
         return assemble_search_results(top, unit=args.unit, radius=args.radius)
 
-    snapshots.run_with_checkpoint(
+    import time as _time
+
+    t0 = _time.perf_counter()
+    manifest = snapshots.run_with_checkpoint(
         build,
         args.out,
         args.checkpoint_buckets,
@@ -71,6 +74,17 @@ def main() -> None:
             "radius": args.radius,
             "unit": args.unit,
         },
+    )
+    # jobs-layer timing (free path — per-bucket rows/seconds already ride
+    # the manifest via df.observe; this is the run-level roll-up the
+    # reference's searchTimerSeconds tuning queries would consume)
+    total_rows = sum(v["rows"] for v in manifest["buckets"].values())
+    elapsed = _time.perf_counter() - t0
+    print(
+        f"geoengine-search: {total_rows} origin rows across "
+        f"{len(manifest['buckets'])} buckets in {elapsed:.2f}s "
+        f"({total_rows / elapsed:.0f} rows/s)"
+        if elapsed > 0 else ""
     )
 
     if args.tiles_zoom:
