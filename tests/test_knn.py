@@ -121,3 +121,36 @@ def test_rings_clustered_hot_region(spark):
         "origin_id", "neighbor_id", "knn_rank"
     ).toPandas()
     assert _key_set(rings) == _key_set(brute)
+
+
+def test_rings_near_pole_band_edge_window(spark):
+    # round-3 review regression: with the old cos clamp at 89.9 deg, an
+    # origin whose certification band edge (|lat| + (r+1) cells) lands in
+    # (89.9, 90) got an INFLATED lon bound and could be over-certified.
+    # Fine grid (half_bits=9, cell ~0.352 deg) + origins chosen so ring 1's
+    # band edge falls inside that window; rings must still equal brute.
+    rng = np.random.default_rng(19)
+    cell = 180.0 / (1 << 9)
+    # band edge for r=1 is |lat| + 2*cell: target 89.91..89.99
+    lats = 89.95 - 2 * cell - rng.uniform(0.0, 0.08, 30)
+    o = pd.DataFrame(
+        {
+            "id": [f"o{i}" for i in range(30)],
+            "latitude": lats,
+            "longitude": rng.uniform(-179.9, 179.9, 30),
+        }
+    )
+    nb = pd.DataFrame(
+        {
+            "id": [f"n{i}" for i in range(800)],
+            "latitude": rng.uniform(85.0, 90.0, 800),
+            "longitude": rng.uniform(-180.0, 180.0, 800),
+        }
+    )
+    brute = knn_join_brute(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 3
+    ).select("origin_id", "neighbor_id", "knn_rank").toPandas()
+    rings = knn_join_rings(
+        spark.createDataFrame(o), spark.createDataFrame(nb), 3, half_bits=9
+    ).select("origin_id", "neighbor_id", "knn_rank").toPandas()
+    assert _key_set(rings) == _key_set(brute)
