@@ -29,10 +29,12 @@ from geoengine.knn import knn_join
 from geoengine.results import assemble_search_results
 from geoengine.topk import top_n_per_origin
 
-def _sweep_stale_scratch(prefix: str, max_age_s: float = 3600.0) -> None:
-    """Remove per-application scratch dirs older than an hour: live
-    concurrent sessions are untouched (their dirs are fresh), dead
-    sessions stop leaking /tmp space across repeated gate/bench runs."""
+def _sweep_stale_scratch(prefix: str, max_age_s: float = 86400.0) -> None:
+    """Remove per-application scratch dirs older than a DAY. The age is
+    deliberately far beyond any single session's lifetime (a scaling run
+    is ~1h and a dir's mtime only moves on direct child writes) so a live
+    concurrent session's scratch is never swept mid-run; the target is
+    day-old leftovers of dead sessions filling /tmp or the warehouse."""
     import glob
     import shutil
     import time

@@ -83,7 +83,9 @@ def resize_block_mean(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     if h % out_h == 0 and w % out_w == 0:
         bh, bw = h // out_h, w // out_w
         blocks = pixels.reshape(out_h, bh, out_w, bw, -1).astype(np.float64)
-        return np.rint(blocks.mean(axis=(1, 3))).astype(np.uint8)
+        out = np.rint(blocks.mean(axis=(1, 3))).astype(np.uint8)
+        # 2-D (grayscale) input must come back 2-D like the fallback branch
+        return out[:, :, 0] if pixels.ndim == 2 else out
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return pixels[ys][:, xs]

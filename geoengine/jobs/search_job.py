@@ -63,6 +63,7 @@ def main() -> None:
 
     import time as _time
 
+    already = set(snapshots.read_manifest(args.out)["buckets"])
     t0 = _time.perf_counter()
     manifest = snapshots.run_with_checkpoint(
         build,
@@ -77,14 +78,17 @@ def main() -> None:
     )
     # jobs-layer timing (free path — per-bucket rows/seconds already ride
     # the manifest via df.observe; this is the run-level roll-up the
-    # reference's searchTimerSeconds tuning queries would consume)
-    total_rows = sum(v["rows"] for v in manifest["buckets"].values())
+    # reference's searchTimerSeconds tuning queries would consume). Only
+    # buckets THIS invocation built count — a resume that skipped
+    # committed work must not report their rows against its own clock.
+    new = {b: v for b, v in manifest["buckets"].items() if b not in already}
+    new_rows = sum(v["rows"] for v in new.values())
     elapsed = _time.perf_counter() - t0
+    rate = f" ({new_rows / elapsed:.0f} rows/s)" if elapsed > 0 and new else ""
     print(
-        f"geoengine-search: {total_rows} origin rows across "
-        f"{len(manifest['buckets'])} buckets in {elapsed:.2f}s "
-        f"({total_rows / elapsed:.0f} rows/s)"
-        if elapsed > 0 else ""
+        f"geoengine-search: built {len(new)} bucket(s) / {new_rows} rows "
+        f"in {elapsed:.2f}s{rate}; {len(already)} pre-committed bucket(s) "
+        f"skipped"
     )
 
     if args.tiles_zoom:

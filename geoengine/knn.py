@@ -291,7 +291,9 @@ def _session_broadcast_bytes(df: DataFrame, cap: int = 64 << 20) -> int:
     compressed parquet can expand 10-20x in memory, so a session tuned
     with a big threshold must not drag the gate past ~1.3 GB of build-side
     heap. A small session threshold shrinks the gate proportionally; an
-    unset/disabled (-1) conf falls back to the cap."""
+    DISABLED conf (-1/0 — the operator explicitly forbade broadcasts)
+    returns 0 so the size gate never forces one; an unparsable conf falls
+    back to the cap."""
     try:
         raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         s = str(raw).strip().lower()
@@ -303,7 +305,7 @@ def _session_broadcast_bytes(df: DataFrame, cap: int = 64 << 20) -> int:
                 s, mult = s[: -len(suf)], m
                 break
         v = int(float(s)) * mult
-        return min(v * 6, cap) if v > 0 else cap
+        return min(v * 6, cap) if v > 0 else 0
     except Exception:  # pragma: no cover - conf surface differences
         return cap
 

@@ -65,8 +65,10 @@ class JobTimer:
         self.observation = Observation()
         self.seconds: float | None = None
         self._t0: float | None = None
+        self._count_col = "n_rows"
 
     def attach(self, df: DataFrame, count_col: str = "n_rows") -> DataFrame:
+        self._count_col = count_col
         return df.observe(
             self.observation, F.count(F.lit(1)).alias(count_col)
         )
@@ -83,7 +85,7 @@ class JobTimer:
         self.seconds = time.perf_counter() - self._t0
 
     def summary(self, spark) -> DataFrame:
-        n = int(self.observation.get["n_rows"])
+        n = int(self.observation.get[self._count_col])
         per = (self.seconds / n) if (self.seconds and n) else None
         return spark.createDataFrame(
             [(n, float(self.seconds or 0.0), per)],

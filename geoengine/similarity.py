@@ -440,11 +440,15 @@ def cosine_near_dup_exact(
     if dense_guard:
         import warnings
 
-        # the guard's two aggregates and the l/r self-join all consume the
-        # index — cache it so the normalize+posexplode+window pipeline runs
-        # once, not four times
+        # cache only for the guard's two aggregates, then RELEASE — holding
+        # the block for the caller's eventual join would leak storage per
+        # call (no unpersist hook after their action); the join re-derives
+        # the index, which is exactly the no-guard cost
         buckets = buckets.cache()
-        n_docs, bound = dense_candidate_bound(buckets)
+        try:
+            n_docs, bound = dense_candidate_bound(buckets)
+        finally:
+            buckets.unpersist()
         all_pairs = n_docs * (n_docs - 1) / 2
         if all_pairs > 0 and bound >= 0.5 * all_pairs:
             warnings.warn(

@@ -296,9 +296,17 @@ def sql_hash_split(
     for w in weights[:-1]:
         acc += w
         cum.append(acc)
+
+    def dlit(x: float) -> str:
+        # repr already carries an exponent for tiny/huge values and IS a
+        # valid DuckDB double literal; only exponent-free reprs need the
+        # e0 suffix (a bare decimal would parse as DECIMAL)
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else f"{r}e0"
+
     case = f"'{names[-1]}'"
     for name, edge in zip(reversed(names[:-1]), reversed(cum)):
-        case = f"CASE WHEN {bucket} < {edge!r}e0 THEN '{name}' ELSE {case} END"
+        case = f"CASE WHEN {bucket} < {dlit(edge)} THEN '{name}' ELSE {case} END"
     return case
 
 

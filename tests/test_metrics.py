@@ -74,7 +74,7 @@ def test_job_timer_free_path(spark):
     o = spark.createDataFrame(_points(27, 100))
     nb = spark.createDataFrame(_points(28, 200))
     timer = JobTimer()
-    df = timer.attach(search(o, nb, 900.0))
+    df = timer.attach(search(o, nb, 900.0), count_col="n_origins")
     with timer:
         n = df.count()
     s = timer.summary(spark).collect()[0]

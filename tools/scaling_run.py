@@ -56,16 +56,26 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
+    # tiny hand parser: '--rounds 2' consumes its VALUE token too, so the
+    # value never leaks into the positional sf_dir slot
+    pos: list[str] = []
+    rounds = 1
+    toks = sys.argv[1:]
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("--rounds"):
+            if "=" in t:
+                rounds = int(t.split("=", 1)[1])
+            else:
+                rounds = int(toks[i + 1])
+                i += 1
+        else:
+            pos.append(t)
+        i += 1
+    sf_dir = pos[0] if pos else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    rounds = 1
-    for a in sys.argv[1:]:
-        if a.startswith("--rounds"):
-            rounds = int(a.split("=", 1)[1]) if "=" in a else int(
-                sys.argv[sys.argv.index(a) + 1]
-            )
 
     # interleave levels across rounds so a steal episode hits at most one
     # leg of one round; min across rounds per (query, level)
