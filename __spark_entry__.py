@@ -161,6 +161,78 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup (tile-pyramid property of the interleaved
+    key): per-cell counts at half_bits=10 roll up to half_bits=8 parents by
+    integer bit truncation (parent = child >> 2*Δhb) and summing — NO
+    re-scan of the points at the coarser level. The oracle recomputes the
+    parent level directly from the raw points, so the gate certifies
+    parent(child(p)) == cell_coarse(p) for the whole table plus the
+    rollup arithmetic."""
+    hb_child, hb_parent = 10, 8
+    pts = datasets.event_points(spark, sf_dir)
+    child = exprs.interleave(
+        exprs.grid_ix(F.col("longitude"), hb_child),
+        exprs.grid_iy(F.col("latitude"), hb_child),
+        hb_child,
+    )
+    child_counts = (
+        pts.select(child.alias("ccell"))
+        .groupBy("ccell")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        child_counts.select(
+            F.shiftrightunsigned(F.col("ccell"),
+                                 2 * (hb_child - hb_parent)).alias("pcell"),
+            "n",
+        )
+        .groupBy("pcell")
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
+def q_tile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile exact distinct-user counts over the event feed (the
+    audience-per-tile aggregation shape: expand-distinct then count —
+    two-shuffle exact plan Spark picks for countDistinct)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = datasets.with_point(ev, "event_id", 37, 91)
+    return (
+        pts.groupBy(
+            exprs.tile_x(F.col("longitude"), ROLLUP_ZOOM).alias("tile_x"),
+            exprs.tile_y(F.col("latitude"), ROLLUP_ZOOM).alias("tile_y"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse raster->vector mapping: each occupied tile back to its
+    geographic bounds (west lon edge, north lat edge via inverse
+    Web-Mercator) — the tile-manifest -> geometry direction, certified
+    with identical IEEE op sequences on both engines."""
+    pts = datasets.event_points(spark, sf_dir)
+    tiles = (
+        pts.select(
+            exprs.tile_x(F.col("longitude"), ROLLUP_ZOOM).alias("tile_x"),
+            exprs.tile_y(F.col("latitude"), ROLLUP_ZOOM).alias("tile_y"),
+        )
+        .distinct()
+    )
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        F.round(exprs.tile_lon_west(F.col("tile_x"), ROLLUP_ZOOM), 6)
+        .alias("lon_w"),
+        F.round(exprs.tile_lat_north(F.col("tile_y"), ROLLUP_ZOOM), 6)
+        .alias("lat_n"),
+    )
+
+
 def q_distance_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R19: registered SQL UDF distanceKm (string-in contract) vs fixed point."""
     from geoengine.udfs import register_sql_udfs
@@ -986,6 +1058,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_encode": q_cell_encode,
     "tile_assign": q_tile_assign,
     "tile_rollup": q_tile_rollup,
+    "cell_pyramid": q_cell_pyramid,
+    "tile_users": q_tile_users,
+    "tile_bounds": q_tile_bounds,
     "distance_udf": q_distance_udf,
     "bbox": q_bbox,
     "search_topk": q_search_topk,
@@ -1519,6 +1594,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points
             FROM pts
             GROUP BY 1, 2
+        """,
+        # the oracle computes the PARENT level directly from the points —
+        # equality certifies the child->parent bit-truncation rollup
+        "cell_pyramid": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events),
+            p1 AS (SELECT {exprs.sql_grid_ix('lon', 8)} AS ix,
+                          {exprs.sql_grid_iy('lat', 8)} AS iy FROM pts)
+            SELECT {exprs.sql_interleave('ix', 'iy', 8)} AS pcell,
+                   count(*) AS n_points
+            FROM p1 GROUP BY 1
+        """,
+        "tile_users": f"""
+            WITH pts AS (SELECT user_id, {_E_LAT} AS lat, {_E_LON} AS lon
+                         FROM events)
+            SELECT {exprs.sql_tile_x('lon', ROLLUP_ZOOM)} AS tile_x,
+                   {exprs.sql_tile_y('lat', ROLLUP_ZOOM)} AS tile_y,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM pts
+            GROUP BY 1, 2
+        """,
+        "tile_bounds": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events),
+            tiles AS (SELECT DISTINCT
+                        {exprs.sql_tile_x('lon', ROLLUP_ZOOM)} AS tile_x,
+                        {exprs.sql_tile_y('lat', ROLLUP_ZOOM)} AS tile_y
+                      FROM pts)
+            SELECT tile_x, tile_y,
+                   round({exprs.sql_tile_lon_west('tile_x', ROLLUP_ZOOM)}, 6)
+                     AS lon_w,
+                   round({exprs.sql_tile_lat_north('tile_y', ROLLUP_ZOOM)}, 6)
+                     AS lat_n
+            FROM tiles
         """,
         "distance_udf": f"""
             WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon

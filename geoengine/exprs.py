@@ -211,6 +211,37 @@ def tile_y(lat: Column, zoom: int) -> Column:
     return F.least(F.greatest(ty, F.lit(0)), F.lit(n - 1)).cast("long")
 
 
+def tile_lon_west(tx: Column, zoom: int) -> Column:
+    """Inverse slippy mapping: the western longitude edge of tile column
+    tx (raster->vector direction: tile id back to geography)."""
+    n = 1 << zoom
+    return tx.cast("double") / float(n) * 360.0 - 180.0
+
+
+def tile_lat_north(ty: Column, zoom: int) -> Column:
+    """Inverse Web-Mercator: the northern latitude edge of tile row ty.
+    lat = degrees(atan(sinh(pi * (1 - 2*ty/n)))), with sinh spelled as
+    (exp(a) - exp(-a)) / 2 so the DuckDB twin (no sinh builtin there)
+    performs the IDENTICAL IEEE op sequence."""
+    import math
+
+    n = 1 << zoom
+    a = (1.0 - 2.0 * ty.cast("double") / float(n)) * math.pi
+    sinh = (F.exp(a) - F.exp(-a)) / 2.0
+    return F.degrees(F.atan(sinh))
+
+
+def sql_tile_lon_west(tx: str, zoom: int) -> str:
+    n = 1 << zoom
+    return f"(CAST({tx} AS DOUBLE) / {_d(n)} * 360.0e0 - 180.0e0)"
+
+
+def sql_tile_lat_north(ty: str, zoom: int) -> str:
+    n = 1 << zoom
+    a = f"((1.0e0 - 2.0e0 * CAST({ty} AS DOUBLE) / {_d(n)}) * pi())"
+    return f"degrees(atan((exp({a}) - exp(-{a})) / 2.0e0))"
+
+
 def sql_tile_x(lon: str, zoom: int) -> str:
     n = 1 << zoom
     return (

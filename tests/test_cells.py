@@ -100,3 +100,46 @@ def test_common_prefix_len_vectorized():
 def test_bits_validation():
     with pytest.raises(ValueError):
         cells.encode(np.array([0.0]), np.array([0.0]), bits=41)
+
+
+def test_tile_bounds_roundtrip(spark):
+    # inverse mapping sanity: every point's latitude lies between its
+    # tile's north edge and the next row's north edge (rows grow south),
+    # and its longitude at/east of the tile's west edge
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geoengine import exprs
+
+    z = 8
+    rng = np.random.default_rng(23)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat": rng.uniform(-84.9, 84.9, 3000),
+                "lon": rng.uniform(-179.9, 179.9, 3000),
+            }
+        )
+    )
+    df = pts.select(
+        "lat",
+        "lon",
+        exprs.tile_x(F.col("lon"), z).alias("tx"),
+        exprs.tile_y(F.col("lat"), z).alias("ty"),
+    ).select(
+        "*",
+        exprs.tile_lon_west(F.col("tx"), z).alias("w"),
+        exprs.tile_lon_west(F.col("tx") + 1, z).alias("e"),
+        exprs.tile_lat_north(F.col("ty"), z).alias("n"),
+        exprs.tile_lat_north(F.col("ty") + 1, z).alias("s"),
+    )
+    bad = df.where(
+        ~(
+            (F.col("lon") >= F.col("w"))
+            & (F.col("lon") < F.col("e"))
+            & (F.col("lat") <= F.col("n"))
+            & (F.col("lat") > F.col("s"))
+        )
+    ).count()
+    assert bad == 0
