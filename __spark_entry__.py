@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoengine import datasets, exprs
@@ -326,6 +326,33 @@ def q_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_name").contains("A"))
         .groupBy("n_name")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_radius_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap analytics: origins with NO neighbor inside the radius
+    — the left-anti composition over the cell-keyed join (the relational
+    complement of radius_pairs; at scale the anti-join rides the same
+    bucketed index)."""
+    origins = datasets.customer_points(spark, sf_dir)
+    matched = _pairs(spark, sf_dir).select(
+        F.col("origin_id").alias("id")
+    ).distinct()
+    return origins.join(matched, "id", "left_anti").select("id")
+
+
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-compaction shape: each user's LATEST event by timestamp
+    (event_id desc as the deterministic tie-break) — the keep-newest
+    dedup every incremental ingestion pipeline runs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
     )
 
 
@@ -1076,6 +1103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
     "radius_bucketed": q_radius_bucketed,
+    "radius_orphans": q_radius_orphans,
+    "latest_per_user": q_latest_per_user,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
@@ -1351,6 +1380,21 @@ def oracle_sql() -> dict[str, str]:
         "knn_rings": knn_sql,
         "radius_salted": _SQL_PAIRS,
         "radius_bucketed": _SQL_PAIRS,
+        "radius_orphans": f"""
+            {_SQL_POINTS}
+            SELECT c.id FROM c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s WHERE {_SQL_DIST_CS} <= {RADIUS_KM!r}e0
+            )
+        """,
+        "latest_per_user": """
+            SELECT user_id, event_id, round(value, 6) AS value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
         "embedding_near_dup": f"""
             WITH v AS ({sql_hashed_tf()}),
             p AS (
