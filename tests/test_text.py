@@ -225,3 +225,47 @@ def test_cap_per_group_semantics(spark):
     for s, grp in out.groupby("source"):
         want = sorted(d for d in range(100) if f"s{d % 3}" == s)[:5]
         assert sorted(grp["doc_id"]) == want
+
+
+def test_pack_sequences_bin_invariants(spark):
+    import pandas as pd_
+
+    rng = __import__("numpy").random.default_rng(29)
+    docs = spark.createDataFrame(
+        pd_.DataFrame(
+            {
+                "doc_id": range(300),
+                "source": [f"s{i % 5}" for i in range(300)],
+                "text": [" ".join(["w"] * int(rng.integers(1, 200)))
+                         for _ in range(300)],
+            }
+        )
+    )
+    out = text.pack_sequences(docs, 512).toPandas()
+    # bins are contiguous and non-decreasing in order within each source,
+    # and every bin's EXCLUSIVE starting offset is below the budget edge
+    for s, grp in out.sort_values("doc_id").groupby("source"):
+        cum = 0
+        for r in grp.itertuples():
+            assert r.bin == cum // 512  # exclusive-prefix-sum rule exactly
+            cum += r.n_tokens
+        assert list(grp["bin"]) == sorted(grp["bin"])
+
+
+def test_hash_split_is_order_and_partitioning_invariant(spark):
+    import pandas as pd_
+
+    docs = pd_.DataFrame({"doc_id": range(1000), "text": ["x"] * 1000})
+    a = (
+        text.hash_split(spark.createDataFrame(docs))
+        .toPandas().set_index("doc_id")["split"].sort_index()
+    )
+    # reversed row order + different partitioning must not change any
+    # assignment (the split is a pure function of the id)
+    b = (
+        text.hash_split(
+            spark.createDataFrame(docs.iloc[::-1]).repartition(17)
+        )
+        .toPandas().set_index("doc_id")["split"].sort_index()
+    )
+    assert (a == b).all()
