@@ -21,8 +21,17 @@ from .geodesy import EARTH_RADIUS_KM, KM_TO_MI, MI_TO_KM
 
 
 def _d(x: float) -> str:
-    """DuckDB DOUBLE literal (e0 suffix — bare decimals parse as DECIMAL)."""
-    return f"{float(x)!r}e0"
+    """DuckDB DOUBLE literal. Bare decimals parse as DECIMAL, so an
+    exponent-free repr gets an ``e0`` suffix; tiny/huge values whose repr
+    already carries an exponent (``3e-05``) are valid double literals as-is
+    (suffixing those would produce invalid SQL like ``3e-05e0``). The ONE
+    float->DuckDB-literal formatter — every oracle must use it."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else f"{r}e0"
+
+
+# public alias for oracle builders outside this module
+sql_double = _d
 
 # --------------------------------------------------------------------------
 # deterministic point derivation from integer keys (FIXTURES.md §5):

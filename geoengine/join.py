@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import exprs
@@ -84,7 +84,7 @@ def with_grid_cell(
 
 def explode_covering_cells(
     df: DataFrame,
-    radius_km: float,
+    radius_km,
     half_bits: int,
     lat: str = "latitude",
     lon: str = "longitude",
@@ -95,10 +95,14 @@ def explode_covering_cells(
 
     Pure Column plan: bbox -> integer index ranges -> explode(sequence),
     longitude wrapped with pmod, latitude clamped. ``guard_cells`` widens
-    each axis for float-boundary safety.
+    each axis for float-boundary safety. ``radius_km`` may be a float
+    (uniform) or a Column (per-row radius, R4 full generality) — the plan
+    is identical either way; per-row radii just vary the sequence bounds.
     """
     n = 1 << half_bits
     la, lo = F.col(lat), F.col(lon)
+    if not isinstance(radius_km, Column):
+        radius_km = F.lit(float(radius_km))
 
     lat_min = exprs.lat_plus_km(la, -radius_km)
     lat_max = exprs.lat_plus_km(la, radius_km)
@@ -293,3 +297,86 @@ def radius_join_pairs(
         .drop("gkey")
     )
     return joined
+
+
+def radius_join_pairs_per_row(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius_col: str = "radius",
+    unit: str = "km",
+    half_bits: int | None = None,
+    max_radius: float | None = None,
+    strategy: str = "auto",
+    origin_prefix: str = "origin_",
+    neighbor_prefix: str = "neighbor_",
+    validate: bool = True,
+) -> DataFrame:
+    """R4 full generality: each ORIGIN ROW carries its own radius.
+
+    The reference's ``SearchInquery`` model has per-row ``radius`` (and
+    ``maxResults``), ``DataStore.scala:29-41`` — its pipelines only ever set
+    one value per table, but a mixed-radius inquiry table is the natural
+    generalization. Same plan shape as :func:`radius_join_pairs`: the ONLY
+    differences are (a) covering cells are exploded at each row's own
+    radius (small-radius rows produce fewer probe cells — the fanout is
+    row-proportional, not worst-case), and (b) the exact-distance
+    refinement compares against the row's radius column.
+
+    Grid resolution is one global choice sized to the LARGEST radius
+    (``max_radius`` in ``unit``; computed with one bounded scalar agg when
+    not supplied — pass it at scale to keep the plan single-pass). A
+    too-coarse cell for small radii only costs guard-cell candidates; the
+    distance refinement keeps semantics exact regardless.
+
+    Output carries ``origin_<radius_col>`` through, so callers can chain
+    per-row top-k (``top_n_per_origin(..., n="origin_max_results")``).
+    """
+    if validate:
+        origins = validate_points(origins)
+        neighbors = validate_points(neighbors)
+
+    if max_radius is None:
+        # bounded: a scalar max over one numeric column (extra pass; at
+        # 100 TB supply the application-known bound instead)
+        max_radius = origins.agg(F.max(radius_col)).first()[0]
+        if max_radius is None:
+            max_radius = 1.0  # empty input: any resolution works
+    max_km = to_km(float(max_radius), unit)
+    hb = half_bits if half_bits is not None else pick_half_bits(max_km)
+
+    o = origins.select(
+        [F.col(c).alias(origin_prefix + c) for c in origins.columns]
+    )
+    nb = neighbors.select(
+        [F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
+    )
+
+    r_km = exprs.radius_as_km(
+        F.col(origin_prefix + radius_col).cast("double"), F.lit(unit)
+    )
+    probe = explode_covering_cells(
+        o, r_km, hb,
+        lat=origin_prefix + "latitude", lon=origin_prefix + "longitude",
+    )
+    build = with_grid_cell(
+        nb, hb, lat=neighbor_prefix + "latitude",
+        lon=neighbor_prefix + "longitude",
+    )
+    if strategy == "broadcast":
+        build = F.broadcast(build)
+
+    d_km = exprs.dist_km(
+        F.col(origin_prefix + "latitude"),
+        F.col(origin_prefix + "longitude"),
+        F.col(neighbor_prefix + "latitude"),
+        F.col(neighbor_prefix + "longitude"),
+    )
+    return (
+        probe.join(build, "gkey")
+        .withColumn("distance_km", d_km)
+        .where(F.col("distance_km") <= r_km)
+        .withColumn(
+            "distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit))
+        )
+        .drop("gkey")
+    )

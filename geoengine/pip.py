@@ -63,17 +63,22 @@ def _pip_udf():
     @pandas_udf("boolean")
     def _inner(
         lat: pd.Series, lon: pd.Series, pid: pd.Series,
-        rings_lat: pd.Series, rings_lon: pd.Series,
+        rings_lat: pd.Series, rings_lon: pd.Series, wrap: pd.Series,
     ) -> pd.Series:
         """Batch test: rows carry their (joined) polygon's rings. The batch
         is grouped by ``pid`` — a GEOMETRY key computed once per polygon on
         the (small) polygon side before the join, so keying is O(1) per
         candidate row (the round-2 version hashed the full ring bytes per
         row, O(vertices)); being content-derived it cannot conflate two
-        table rows that share a user poly_id but differ in geometry."""
+        table rows that share a user poly_id but differ in geometry.
+        ``wrap`` marks antimeridian-crossing polygons: their ring lons
+        arrive pre-shifted to [0, 360) and the POINT lons get the same
+        shift here, so the planar even-odd test runs in a seam-free
+        frame."""
         out = np.zeros(len(lat), dtype=bool)
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
+        wr = wrap.to_numpy(bool)
         codes, _ = pd.factorize(pid, use_na_sentinel=False)
         for c in np.unique(codes):
             i = np.nonzero(codes == c)[0]
@@ -82,7 +87,10 @@ def _pip_udf():
                   for r in rings_lat.iloc[first]]
             rn = [np.asarray(r, dtype=np.float64)
                   for r in rings_lon.iloc[first]]
-            out[i] = point_in_rings(la[i], lo[i], rl, rn)
+            lo_i = lo[i]
+            if wr[first]:
+                lo_i = np.where(lo_i < 0.0, lo_i + 360.0, lo_i)
+            out[i] = point_in_rings(la[i], lo_i, rl, rn)
         return pd.Series(out)
 
     return _inner
@@ -108,6 +116,7 @@ def points_in_multipolygons(
     batch-grouped by poly_id.
     """
     flat = f"flatten({rings_col})"
+    n = 1 << half_bits
     polys = polygons.select(
         poly_id,
         # content-derived batch-group key, computed ONCE per polygon row on
@@ -115,24 +124,56 @@ def points_in_multipolygons(
         # geometry stay distinct groups in the UDF (md5 of the full vertex
         # JSON — a collision needs two 128-bit-equal distinct geometries)
         F.md5(F.to_json(F.col(rings_col))).alias("_geom_key"),
+        F.col(rings_col),
+        # raw lon span > 180 deg <=> the polygon crosses the antimeridian
+        # (under the modelling convention that no single polygon spans more
+        # than half the globe east-west — the standard GeoJSON-style
+        # disambiguation). Such polygons are handled in a SHIFTED frame
+        # (lon < 0 -> lon + 360): bbox, covering cells and the planar
+        # even-odd test all become seam-free, instead of the raw
+        # array_min/array_max bbox degrading to a near-world covering set.
+        (
+            F.expr(f"array_max(transform({flat}, p -> p.lon))")
+            - F.expr(f"array_min(transform({flat}, p -> p.lon))")
+            > 180.0
+        ).alias("_wrap"),
+    )
+    shift = (
+        f"transform({rings_col}, r -> transform(r, p -> "
+        f"CASE WHEN _wrap AND p.lon < 0.0D THEN p.lon + 360.0D "
+        f"ELSE p.lon END))"
+    )
+    flat_sh = f"flatten({shift})"
+    polys = polys.select(
+        poly_id,
+        "_geom_key",
+        "_wrap",
         F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lat))")
         .alias("_rlat"),
-        F.expr(f"transform({rings_col}, r -> transform(r, p -> p.lon))")
-        .alias("_rlon"),
+        F.expr(shift).alias("_rlon"),
         F.expr(f"array_min(transform({flat}, p -> p.lat))").alias("_lat0"),
         F.expr(f"array_max(transform({flat}, p -> p.lat))").alias("_lat1"),
-        F.expr(f"array_min(transform({flat}, p -> p.lon))").alias("_lon0"),
-        F.expr(f"array_max(transform({flat}, p -> p.lon))").alias("_lon1"),
+        F.expr(f"array_min({flat_sh})").alias("_lon0"),
+        F.expr(f"array_max({flat_sh})").alias("_lon1"),
     )
+    # x covering range: in the shifted frame the raw (unclamped) index can
+    # reach [n, 3n/2); pmod wraps it back onto the grid the points use.
+    # Non-wrapped polygons keep the exact old clamped semantics.
+    ix_lo_raw = F.floor((F.col("_lon0") + 180.0) / 360.0 * float(n)).cast("long")
+    ix_hi_raw = F.floor((F.col("_lon1") + 180.0) / 360.0 * float(n)).cast("long")
+    ix_lo = F.when(F.col("_wrap"), ix_lo_raw).otherwise(
+        exprs.grid_ix(F.col("_lon0"), half_bits)
+    )
+    ix_hi = F.when(F.col("_wrap"), ix_hi_raw).otherwise(
+        exprs.grid_ix(F.col("_lon1"), half_bits)
+    )
+    # cap at one revolution: a pathological shifted span can never be
+    # allowed to emit the same (polygon, cell) pair twice via pmod
+    ix_hi = F.when(ix_hi - ix_lo >= n, ix_lo + n - 1).otherwise(ix_hi)
     cov = (
-        polys.withColumn(
-            "_gx",
-            F.explode(
-                F.sequence(
-                    exprs.grid_ix(F.col("_lon0"), half_bits),
-                    exprs.grid_ix(F.col("_lon1"), half_bits),
-                )
-            ),
+        polys.withColumn("_gx_raw", F.explode(F.sequence(ix_lo, ix_hi)))
+        .withColumn(
+            "_gx", F.pmod(F.col("_gx_raw"), F.lit(n)).cast("long")
         )
         .withColumn(
             "_gy",
@@ -144,14 +185,14 @@ def points_in_multipolygons(
             ),
         )
         .withColumn("gkey", exprs.grid_key(F.col("_gx"), F.col("_gy"), half_bits))
-        .select(poly_id, "_geom_key", "_rlat", "_rlon", "gkey")
+        .select(poly_id, "_geom_key", "_wrap", "_rlat", "_rlon", "gkey")
     )
     pts = with_grid_cell(points, half_bits)
     cand = pts.join(cov, "gkey")
     hit = cand.where(
         _pip_udf()(
             F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
-            F.col("_rlat"), F.col("_rlon"),
+            F.col("_rlat"), F.col("_rlon"), F.col("_wrap"),
         )
     )
     return hit.select(F.col(point_id).alias("point_id"), poly_id)

@@ -103,6 +103,54 @@ def run_stream_to_memory(out: DataFrame, name: str, output_mode: str,
     return result
 
 
+def run_stream_until_idle(out: DataFrame, name: str, output_mode: str,
+                          tmpdir: str, idle_s: float = 10.0,
+                          timeout_s: int = 600) -> DataFrame:
+    """Finite-replay runner for PROCESSING-TIME-TIMEOUT streams. With a
+    processing-time TTL the trigger can never prove no future timeout will
+    fire, so ``availableNow`` degrades to an endless run of empty batches
+    (observed on pyspark 4.1: batch id keeps climbing with numInputRows=0
+    after the source drains) — correct for a production feed, which never
+    ends, but a replay harness must stop the query itself. Runs until no
+    input rows have arrived for ``idle_s`` (several empty batches — ample
+    time for pending timeouts to fire and evict), then stops and returns
+    the memory-sink table."""
+    import shutil
+    import time
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    t0 = time.time()
+    last_data = time.time()
+    saw_progress = False
+    while time.time() - t0 < timeout_s:
+        time.sleep(1.0)
+        if not q.isActive:
+            break
+        lp = q.lastProgress or {}
+        if not lp:
+            continue
+        saw_progress = True
+        if lp.get("numInputRows"):
+            last_data = time.time()
+        if time.time() - last_data > idle_s:
+            break
+    if q.isActive:
+        q.stop()
+    if not saw_progress:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise TimeoutError(f"stream {name!r} made no progress in {timeout_s}s")
+    result = out.sparkSession.table(name)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return result
+
+
 def stateful_user_totals(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -142,6 +190,7 @@ def streaming_exact_dedup(
     stream: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming exact dedup — keep each content hash's FIRST-SEEN row
     across micro-batches (the training-pipeline dedup run over a live
@@ -149,18 +198,46 @@ def streaming_exact_dedup(
     single boolean-equivalent (the kept id); later arrivals of the same
     content emit nothing (append semantics). Within one micro-batch the
     earliest id wins deterministically, so a feed replayed in id order
-    emits exactly the batch exact_dedup keep-set."""
+    emits exactly the batch exact_dedup keep-set.
+
+    State bound: without a TTL the store grows one entry per DISTINCT
+    content hash forever — fine for a finite replay, unbounded on a
+    production feed. ``ttl_minutes`` sets a SLIDING processing-time TTL:
+    each (re-)arrival of a hash refreshes its entry's deadline, and an
+    entry idle past the TTL is evicted, so a copy arriving after
+    expiration is treated as first-seen again and re-emitted — the
+    standard bounded-memory dedup contract (same trade as watermarked
+    ``dropDuplicates``). Within the TTL window semantics are unchanged.
+    At 100 TB pair this with the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state
+    .RocksDBStateStoreProvider``) so live state is off-heap with
+    changelog checkpointing; the TTL then bounds disk, not just heap.
+    Finite replays of a TTL'd stream must use
+    :func:`run_stream_until_idle` — processing-time timeouts keep the
+    trigger alive, so ``availableNow`` alone never terminates."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = None if ttl_minutes is None else max(1, int(ttl_minutes * 60_000))
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        empty = pd.DataFrame({"text_hash": [], "keep_id": []}).astype(
+            {"text_hash": str, "keep_id": "int64"}
+        )
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle past TTL: evict (pdfs is empty here)
+            yield empty
+            return
         ids = [pdf[id_col] for pdf in pdfs]
         if state.exists:
-            yield pd.DataFrame({"text_hash": [], "keep_id": []}).astype(
-                {"text_hash": str, "keep_id": "int64"}
-            )
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # sliding: refresh on re-arrival
+            yield empty
             return
         first = int(pd.concat(ids).min())
         state.update((first,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"text_hash": [key[0]], "keep_id": [first]})
 
     keyed = stream.withColumn(
@@ -171,7 +248,11 @@ def streaming_exact_dedup(
         outputStructType="text_hash string, keep_id long",
         stateStructType="keep long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -260,6 +260,7 @@ def hash_split(
     included — reproduces the assignment bit-exactly; the salt keys the
     split so two pipelines with different salts get independent splits.
     Pure Column expression: no shuffle, no UDF, fully codegen."""
+    _check_split_spec(weights, names)
     cum, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
@@ -280,6 +281,23 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def _check_split_spec(
+    weights: tuple[float, ...], names: tuple[str, ...], eps: float = 1e-6
+) -> None:
+    """A silently-mismatched spec mis-assigns rows (the last name absorbs
+    all residual mass) — fail loudly at entry instead."""
+    if len(weights) != len(names):
+        raise ValueError(
+            f"hash_split: {len(weights)} weights for {len(names)} names"
+        )
+    if not names:
+        raise ValueError("hash_split: empty split spec")
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > eps:
+        raise ValueError(
+            f"hash_split: weights must be >=0 and sum to 1.0, got {weights}"
+        )
+
+
 def sql_hash_split(
     weights: tuple[float, ...] = (0.8, 0.1, 0.1),
     names: tuple[str, ...] = ("train", "val", "test"),
@@ -288,6 +306,9 @@ def sql_hash_split(
 ) -> str:
     """DuckDB twin of hash_split's bucket expression (same md5 prefix,
     same modulus, same boundaries)."""
+    from .exprs import sql_double as dlit
+
+    _check_split_spec(weights, names)
     bucket = (
         f"(CAST(('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), "
         f"1, 8)) AS BIGINT) % 1000000) / 1000000.0e0"
@@ -296,13 +317,6 @@ def sql_hash_split(
     for w in weights[:-1]:
         acc += w
         cum.append(acc)
-
-    def dlit(x: float) -> str:
-        # repr already carries an exponent for tiny/huge values and IS a
-        # valid DuckDB double literal; only exponent-free reprs need the
-        # e0 suffix (a bare decimal would parse as DECIMAL)
-        r = repr(float(x))
-        return r if ("e" in r or "E" in r) else f"{r}e0"
 
     case = f"'{names[-1]}'"
     for name, edge in zip(reversed(names[:-1]), reversed(cum)):
@@ -321,8 +335,12 @@ def cap_per_group(
     per-domain/per-source cap that stops one crawler domain from dominating
     a training mix. One window shuffle on the group key; at 100 TB the
     group cardinality is huge (domains), so partitions stay balanced, and
-    hot groups cost only their own partition's sort."""
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    hot groups cost only their own partition's sort. ``id_col`` is the
+    final tie-break so a non-unique ``order_col`` still yields a
+    deterministic keep-set."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)

@@ -13,18 +13,26 @@ collapses ties; we keep the min-id representative deterministically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def top_n_per_origin(
     pairs: DataFrame,
-    n: int,
+    n,
     origin_id: str = "origin_id",
     neighbor_id: str = "neighbor_id",
     distance: str = "distance_km",
     parity_topn: bool = False,
 ) -> DataFrame:
+    """``n`` may be an int (uniform cap) or a column name / Column carrying
+    the per-ORIGIN-row cap — the reference's per-inquiry ``maxResults``
+    (``DataStore.scala:29-41``, R4/R13 full generality). The plan is the
+    same single window either way; a per-row cap just makes the rank
+    comparison a column-column one."""
+    cap = F.col(n) if isinstance(n, str) else (
+        n if isinstance(n, Column) else F.lit(int(n))
+    )
     if parity_topn:
         # dedup equal distances (min neighbor id representative), then keep
         # the n FARTHEST — reference SortedSet fold semantics
@@ -43,4 +51,4 @@ def top_n_per_origin(
             F.col(distance).asc(), F.col(neighbor_id)
         )
         ranked = pairs.withColumn("_rn", F.row_number().over(w))
-    return ranked.where(F.col("_rn") <= n).drop("_rn")
+    return ranked.where(F.col("_rn") <= cap).drop("_rn")

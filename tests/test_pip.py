@@ -165,3 +165,72 @@ def test_points_in_polygons_matches_bruteforce(spark):
             want.add((pid, pr["poly_id"]))
     assert got_set == want
     assert len(want) > 0
+
+
+def test_antimeridian_polygon_matches_shifted_bruteforce(spark):
+    """A polygon spanning the +/-180 seam (lon 170 -> -170): the engine
+    must classify points on BOTH sides correctly AND keep the covering
+    cell set seam-local (not a near-world bbox explosion)."""
+    # quad crossing the seam, with a hole crossing it too
+    outer = [(10.0, 170.0), (10.0, -170.0), (30.0, -170.0), (30.0, 170.0)]
+    hole = [(18.0, 175.0), (18.0, -175.0), (22.0, -175.0), (22.0, 175.0)]
+    polys = spark.createDataFrame(
+        [("seam", [[{"lat": a, "lon": b} for a, b in outer],
+                   [{"lat": a, "lon": b} for a, b in hole]])],
+        schema="poly_id string, "
+               "rings array<array<struct<lat:double, lon:double>>>",
+    )
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(0.0, 40.0, 400)
+    lons = np.concatenate([rng.uniform(160.0, 180.0, 200),
+                           rng.uniform(-180.0, -160.0, 200)])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": [f"p{i}" for i in range(400)],
+                      "latitude": lats, "longitude": lons})
+    )
+    got = set(
+        points_in_multipolygons(pts, polys, half_bits=6)
+        .toPandas()["point_id"]
+    )
+
+    # brute force in the shifted (seam-free) frame
+    sh = lambda x: np.where(np.asarray(x) < 0, np.asarray(x) + 360.0, x)
+    want = set()
+    for i in range(400):
+        inside = point_in_rings(
+            np.array([lats[i]]), sh([lons[i]]),
+            [np.array([a for a, _ in outer]), np.array([a for a, _ in hole])],
+            [sh([b for _, b in outer]), sh([b for _, b in hole])],
+        )[0]
+        if inside:
+            want.add(f"p{i}")
+    assert got == want and 0 < len(want) < 400
+
+    # covering-cell economy: seam polygon spans ~20 deg of longitude; at
+    # half_bits=6 (5.6 deg cells) the x-extent must stay local (<8 cells),
+    # not the ~64-cell world-spanning set the raw bbox would give
+    from geoengine import exprs as ex
+    from pyspark.sql import functions as F
+
+    n = 1 << 6
+    cov = (
+        polys.select(
+            F.explode(
+                F.sequence(
+                    F.floor((F.expr(
+                        "array_min(transform(flatten(transform(rings, r -> "
+                        "transform(r, p -> CASE WHEN p.lon < 0.0D THEN "
+                        "named_struct('lon', p.lon + 360.0D) ELSE "
+                        "named_struct('lon', p.lon) END))), x -> x.lon))"
+                    ) + 180.0) / 360.0 * float(n)).cast("long"),
+                    F.floor((F.expr(
+                        "array_max(transform(flatten(transform(rings, r -> "
+                        "transform(r, p -> CASE WHEN p.lon < 0.0D THEN "
+                        "named_struct('lon', p.lon + 360.0D) ELSE "
+                        "named_struct('lon', p.lon) END))), x -> x.lon))"
+                    ) + 180.0) / 360.0 * float(n)).cast("long"),
+                )
+            ).alias("gx")
+        )
+    ).count()
+    assert cov <= 8

@@ -175,3 +175,73 @@ def test_parity_topn_keeps_farthest_and_dedups(spark):
     assert set(got["neighbor_id"]) == {"n4", "n3"}
     sane = top_n_per_origin(pairs, 2).toPandas()
     assert set(sane["neighbor_id"]) == {"n1", "n2"}
+
+
+def test_per_row_radius_matches_bruteforce(spark):
+    """R4 full generality: mixed per-row radii (5..500 km) + per-row k
+    against the numpy brute-force oracle at each row's own radius."""
+    from geoengine.join import radius_join_pairs_per_row
+
+    o = _random_points(11, 250)
+    radii = (5.0 + (np.arange(250) % 9) * 60.0)  # 5..485 km, mixed
+    o["radius_km"] = radii
+    nb = _random_points(211, 400)
+
+    got = radius_join_pairs_per_row(
+        spark.createDataFrame(o), spark.createDataFrame(nb),
+        radius_col="radius_km", unit="km",
+    ).toPandas()
+    got_set = set(zip(got["origin_id"], got["neighbor_id"]))
+
+    la1 = o["latitude"].to_numpy()[:, None]
+    lo1 = o["longitude"].to_numpy()[:, None]
+    la2 = nb["latitude"].to_numpy()[None, :]
+    lo2 = nb["longitude"].to_numpy()[None, :]
+    d = geodesy.dist_law_of_cosines_km(la1, lo1, la2, lo2)
+    oi, ni = np.nonzero(d <= radii[:, None])
+    want = set(zip(o["id"].to_numpy()[oi], nb["id"].to_numpy()[ni]))
+    assert got_set == want
+
+    # per-row caps: k derived per origin, ranks bounded by each row's cap
+    o["max_results"] = (np.arange(250) % 4) + 1
+    pairs = radius_join_pairs_per_row(
+        spark.createDataFrame(o), spark.createDataFrame(nb),
+        radius_col="radius_km", unit="km",
+    )
+    top = top_n_per_origin(pairs, "origin_max_results").toPandas()
+    counts = top.groupby("origin_id").size()
+    caps = o.set_index("id")["max_results"]
+    for oid, n in counts.items():
+        assert n <= caps[oid]
+    # kept rows are each origin's n NEAREST
+    for oid, grp in top.groupby("origin_id"):
+        i = int(np.nonzero(o["id"].to_numpy() == oid)[0][0])
+        within = np.nonzero(d[i] <= radii[i])[0]
+        order = within[np.lexsort((nb["id"].to_numpy()[within], d[i][within]))]
+        want_ids = list(nb["id"].to_numpy()[order[: caps[oid]]])
+        assert sorted(grp["neighbor_id"]) == sorted(want_ids)
+
+
+def test_per_row_radius_miles_unit(spark):
+    """Per-row radius in MILES: conversion happens per row (first-letter
+    unit rule), distance reported in the inquiry unit."""
+    from geoengine.join import radius_join_pairs_per_row
+
+    o = pd.DataFrame(
+        {"id": ["a", "b"], "latitude": [0.0, 0.0], "longitude": [0.0, 10.0],
+         "radius": [100.0, 50.0]}
+    )
+    nb = pd.DataFrame(
+        {"id": ["x", "y"], "latitude": [0.0, 0.0],
+         "longitude": [1.0, 10.5]}
+    )
+    got = radius_join_pairs_per_row(
+        spark.createDataFrame(o), spark.createDataFrame(nb),
+        radius_col="radius", unit="miles",
+    ).toPandas()
+    # a->x: 111.19 km = 69.1 mi <= 100 mi: kept; b->y: 55.6km=34.5mi <= 50: kept
+    # a->y (10.5 deg) and b->x (9 deg) are far outside
+    assert set(zip(got["origin_id"], got["neighbor_id"])) == {("a", "x"), ("b", "y")}
+    mi = got.set_index("origin_id")["distance"]
+    km = got.set_index("origin_id")["distance_km"]
+    assert np.allclose(mi, km * geodesy.KM_TO_MI)

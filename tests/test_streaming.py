@@ -124,6 +124,41 @@ def test_streaming_exact_dedup_suppresses_cross_batch_dups(spark):
     assert max(fam) - min(fam) > n // 2
 
 
+def test_streaming_dedup_ttl_evicts_idle_state(spark):
+    """Sliding processing-time TTL: an entry idle past the TTL is evicted,
+    so a later copy of the same content RE-emits (bounded-state contract);
+    within one micro-batch (inside any TTL window) dups stay suppressed."""
+    import pandas as pd
+
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_until_idle,
+        streaming_exact_dedup,
+    )
+
+    # batch 0 (ids 0-9) and batch 3 (ids 30-39) both carry content "dup";
+    # batches are seconds apart, TTL is ~1 ms -> the batch-0 entry is
+    # expired by the time batch 3 arrives. A TTL'd stream never
+    # self-terminates under availableNow (timeouts keep the trigger
+    # alive), so the drain-then-stop runner is part of what's under test.
+    texts = ["dup" if i in (0, 1, 30, 31) else f"u{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": texts})
+    )
+    stream, d = replay_parquet_stream(spark, docs, n_files=4,
+                                      order_col="doc_id")
+    got = run_stream_until_idle(
+        streaming_exact_dedup(stream, ttl_minutes=1e-9),
+        "t_stream_dedup_ttl", "append", d,
+    ).toPandas()
+    dup_hits = sorted(got[got["keep_id"].isin([0, 1, 30, 31])]["keep_id"])
+    # in-batch dedup held (0 beat 1, 30 beat 31); eviction re-emitted 30
+    assert dup_hits == [0, 30]
+    # 37 distinct contents; exactly one extra row = the re-emission of "dup"
+    assert len(set(got["text_hash"])) == 37
+    assert len(got) == 38
+
+
 def _events_stream(spark, sf_dir, tmp_path, files=4, time_ordered=False):
     """Replay the events table as a file stream, one micro-batch per file.
     time_ordered=True delivers micro-batches in event-time order (the

@@ -227,6 +227,40 @@ def test_cap_per_group_semantics(spark):
         assert sorted(grp["doc_id"]) == want
 
 
+def test_hash_split_rejects_bad_spec(spark):
+    import pandas as pd_
+
+    import pytest as pytest_
+
+    docs = spark.createDataFrame(
+        pd_.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    )
+    with pytest_.raises(ValueError):  # weights/names length mismatch
+        text.hash_split(docs, weights=(0.5, 0.5), names=("a", "b", "c"))
+    with pytest_.raises(ValueError):  # weights don't sum to 1
+        text.hash_split(docs, weights=(0.5, 0.4), names=("a", "b"))
+    with pytest_.raises(ValueError):  # SQL twin validates identically
+        text.sql_hash_split(weights=(0.9, 0.2), names=("a", "b"))
+
+
+def test_cap_per_group_id_tiebreak(spark):
+    """Non-unique order_col: id_col decides deterministically (kept set is
+    the k smallest (order, id) pairs, not an arbitrary k of the ties)."""
+    import pandas as pd_
+
+    docs = spark.createDataFrame(
+        pd_.DataFrame(
+            {
+                "doc_id": range(40),
+                "source": ["s0"] * 40,
+                "rank": [7] * 40,  # fully tied order column
+            }
+        )
+    )
+    out = text.cap_per_group(docs, 6, order_col="rank").toPandas()
+    assert sorted(out["doc_id"]) == list(range(6))
+
+
 def test_pack_sequences_bin_invariants(spark):
     import pandas as pd_
 

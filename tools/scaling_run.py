@@ -64,12 +64,14 @@ def main() -> None:
     i = 0
     while i < len(toks):
         t = toks[i]
-        if t.startswith("--rounds"):
+        if t == "--rounds" or t.startswith("--rounds="):
             if "=" in t:
                 rounds = int(t.split("=", 1)[1])
-            else:
+            elif i + 1 < len(toks):
                 rounds = int(toks[i + 1])
                 i += 1
+            else:
+                sys.exit("usage: scaling_run.py [sf_dir] --rounds N")
         else:
             pos.append(t)
         i += 1
