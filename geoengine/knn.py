@@ -67,7 +67,16 @@ def _plan_stats(df: DataFrame) -> tuple[int | None, int | None]:
     """(rowCount, sizeInBytes) from Catalyst plan statistics — NO job is
     triggered (unlike ``df.count()``). rowCount is None unless the catalog
     has exact stats; sizeInBytes for file sources is the COMPRESSED file
-    size (can be 10-20x below in-memory size)."""
+    size (can be 10-20x below in-memory size).
+
+    This is the engine's ONE private-API dependency: ``df._jdf`` +
+    the py4j ``queryExecution().optimizedPlan().stats()`` chain. Exercised
+    against pyspark 4.1.x (classic, non-Connect); under Spark Connect
+    ``_jdf`` does not exist and any JVM-side rename raises — both land in
+    the except arm, and every caller (estimated_rows -> strategy/
+    resolution choices in knn/similarity) treats (None, None) as "stats
+    unknown" and falls back to a safe default plan, never an error.
+    tests/test_knn.py::test_plan_stats_fallback forces this path."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()

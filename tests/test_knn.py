@@ -154,3 +154,20 @@ def test_rings_near_pole_band_edge_window(spark):
         spark.createDataFrame(o), spark.createDataFrame(nb), 3, half_bits=9
     ).select("origin_id", "neighbor_id", "knn_rank").toPandas()
     assert _key_set(rings) == _key_set(brute)
+
+
+def test_plan_stats_fallback(spark):
+    """The one private-API seam (df._jdf py4j chain): when the surface is
+    absent or renamed (Spark Connect, future JVM refactor) the stats
+    helpers must degrade to 'unknown', not raise."""
+    from geoengine.knn import _plan_stats, estimated_rows
+
+    df = spark.range(10)
+
+    class _NoQE:  # simulates a _jdf whose JVM surface changed shape
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    df._jdf = _NoQE()
+    assert _plan_stats(df) == (None, None)
+    assert estimated_rows(df) is None
