@@ -659,6 +659,22 @@ def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, 20).select("doc_id", "source")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-MIX reweighting: deterministic per-source sampling with a
+    per-row fraction derived from the source id (srcN keeps (N%5)*0.2+0.1
+    of its rows) — content-stable md5 bucket, so the oracle reproduces the
+    exact keep-set; nested (a row kept at f stays kept at f' > f)."""
+    from geoengine.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = (
+        F.substring(F.col("source"), 4, 10).cast("long") % 5
+    ) * 0.2 + 0.1
+    return stratified_sample(docs, frac).select(
+        "doc_id", "source", F.round(frac, 6).alias("keep_fraction")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing into 512-token bins per source (LLM
     training-mix op): bin id = exclusive prefix token sum // 512 in
@@ -1141,7 +1157,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_users": q_tile_users,
     "tile_bounds": q_tile_bounds,
     "search_topk": q_search_topk,
-    "nation_join": q_nation_join,
     "dedup_exact": q_dedup_exact,
     "pip": q_pip,
     "pip_multi": q_pip_multi,
@@ -1158,6 +1173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "fingerprint": q_fingerprint,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "cap_per_group": q_cap_per_group,
     "pack_sequences": q_pack_sequences,
     "vocab_topk": q_vocab_topk,
@@ -1173,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     # -- 51+: rotation bench (driver-green r01-r03; local-twin coverage) --
+    "nation_join": q_nation_join,
     "bbox": q_bbox,
     "record_count": q_record_count,
     "avg_dist": q_avg_dist,
@@ -1388,7 +1405,9 @@ def _sql_text_stats() -> str:
 def oracle_sql() -> dict[str, str]:
     from geoengine.fixtures import sql_audio_cols, sql_img_cols, sql_video_cols
     from geoengine.similarity import sql_hashed_tf
-    from geoengine.text import sql_hash_split
+    from geoengine.text import sql_hash_bucket, sql_hash_split
+
+    sample_bucket = sql_hash_bucket("doc_id", "geoeng-sample-v1")
 
     aud = sql_audio_cols("i")
 
@@ -1550,6 +1569,14 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": (
             f"SELECT doc_id, {sql_hash_split()} AS split FROM documents"
         ),
+        "stratified_sample": f"""
+            SELECT doc_id, source,
+                   round((CAST(substr(source, 4) AS BIGINT) % 5) * 0.2e0
+                         + 0.1e0, 6) AS keep_fraction
+            FROM documents
+            WHERE {sample_bucket} <
+                  ((CAST(substr(source, 4) AS BIGINT) % 5) * 0.2e0 + 0.1e0)
+        """,
         "cap_per_group": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

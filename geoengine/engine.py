@@ -38,6 +38,7 @@ def search(
     strategy: str = "auto",
     include_search_space: bool = True,
     timing: bool = False,
+    prepartition: int | None = None,
 ) -> DataFrame:
     """Radius-neighborhood search -> nested SearchResult rows.
 
@@ -46,8 +47,23 @@ def search(
     pure-JVM (column is 0.0; wrap the action with metrics.JobTimer for
     free job-level timing); ``timing=True`` is the per-row parity mode —
     real amortized wall-clock per origin at the cost of an Arrow
-    mapInPandas tail stage."""
+    mapInPandas tail stage.
+
+    ``prepartition=N`` hash-partitions the ORIGIN side by id before the
+    join. With a broadcast build side (explicit or AQE-chosen at plan
+    time) the origin partitioning survives explode+join+window, so the
+    top-k Window's Exchange AND the nested-assembly groupBy Exchange are
+    both elided (hash on origin_id satisfies their clustering) — the one
+    shuffle moves to the 1x pre-explode origin rows instead of the
+    ~(fanout x matches) candidate rows. Plan-asserted in
+    tests/test_plan_shape.py. Leave None for shuffle-join workloads
+    (there the join's own exchange already clusters by cell, and the
+    window shuffle is top-k-bounded by WindowGroupLimit partial mode)."""
     o = coerce_points(origins)
+    if prepartition is not None:
+        from pyspark.sql import functions as F
+
+        o = o.repartition(prepartition, F.col("id"))
     nb = coerce_points(neighbors)
     pairs = radius_join_pairs(
         o, nb, radius, unit, half_bits=half_bits, strategy=strategy

@@ -15,7 +15,7 @@ from functools import lru_cache
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -243,6 +243,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Content-stable uniform [0,1) bucket: md5(salt||id) first 8 hex
+    digits mod 1e6. md5 (not xxhash64) so ANY engine — the DuckDB oracle
+    included — reproduces the value bit-exactly; the salt keys independent
+    bucketings. Shared by hash_split and stratified_sample."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                      .cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 1_000_000
+    ) / 1_000_000.0
+
+
+def sql_hash_bucket(id_col: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (same md5 prefix, modulus)."""
+    return (
+        f"((CAST(('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) % 1000000) / 1000000.0e0)"
+    )
+
+
 def hash_split(
     docs: DataFrame,
     weights: tuple[float, ...] = (0.8, 0.1, 0.1),
@@ -265,16 +290,7 @@ def hash_split(
     for w in weights[:-1]:
         acc += w
         cum.append(acc)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                      .cast("binary")),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % 1_000_000
-    ) / 1_000_000.0
+    bucket = hash_bucket(id_col, salt)
     expr = F.lit(names[-1])
     for name, edge in zip(reversed(names[:-1]), reversed(cum)):
         expr = F.when(bucket < edge, F.lit(name)).otherwise(expr)
@@ -309,10 +325,7 @@ def sql_hash_split(
     from .exprs import sql_double as dlit
 
     _check_split_spec(weights, names)
-    bucket = (
-        f"(CAST(('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), "
-        f"1, 8)) AS BIGINT) % 1000000) / 1000000.0e0"
-    )
+    bucket = sql_hash_bucket(id_col, salt)
     cum, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
@@ -322,6 +335,34 @@ def sql_hash_split(
     for name, edge in zip(reversed(names[:-1]), reversed(cum)):
         case = f"CASE WHEN {bucket} < {dlit(edge)} THEN '{name}' ELSE {case} END"
     return case
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "geoeng-sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group sampling — the training-MIX reweighting op
+    (keep 90% of one domain, 10% of another). ``fractions`` is either a
+    ``dict[group_value -> keep_fraction]`` or a Column computing the
+    per-row keep fraction. Rows keep iff their content-stable
+    :func:`hash_bucket` (md5-salted, uniform [0,1)) falls below the
+    fraction — so reruns, backfills and late shards keep the SAME rows
+    (``df.sample()`` is not reproducible across retries/partitionings),
+    and a row kept at fraction f stays kept at any fraction > f (nested
+    samples for scaling-law runs). Pure Column: no shuffle, no UDF."""
+    if isinstance(fractions, Column):
+        frac = fractions
+    else:
+        frac = F.lit(float(default_fraction))
+        for g, f in fractions.items():
+            if not (0.0 <= f <= 1.0):
+                raise ValueError(f"fraction for {g!r} out of [0,1]: {f}")
+            frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    return docs.where(hash_bucket(id_col, salt) < frac)
 
 
 def cap_per_group(

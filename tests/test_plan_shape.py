@@ -129,3 +129,26 @@ def test_near_dup_prefix_one_window_shuffle(spark, sf_dir):
     assert "Window" in p
     for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert python_node not in p
+
+
+def test_prepartitioned_search_elides_topk_and_assembly_exchanges(spark, sf_dir):
+    """search(prepartition=N, strategy='broadcast'): the origin-side hash
+    partitioning must survive explode+join+window+groupBy, leaving exactly
+    TWO Exchanges — the cheap 1x pre-explode repartition and the broadcast
+    — with the window and collect_list aggregation reusing it."""
+    from geoengine.engine import search
+
+    o = datasets.customer_points(spark, sf_dir)
+    nb = datasets.supplier_points(spark, sf_dir)
+    p = _plan(spark, search(o, nb, 500.0, "km", max_results=5,
+                            strategy="broadcast", prepartition=8), "simple")
+    assert p.count("Exchange") == 2, p
+    assert "BroadcastExchange" in p
+    assert "REPARTITION_BY_NUM" in p
+    # the candidate-row shuffle is GONE: no hash exchange on origin_id
+    assert "hashpartitioning(origin_id" not in p, p
+    # baseline (no prepartition): window+assembly share ONE post-join hash
+    # exchange — but it moves candidate rows, keyed on origin_id
+    p0 = _plan(spark, search(o, nb, 500.0, "km", max_results=5,
+                             strategy="broadcast"), "simple")
+    assert "hashpartitioning(origin_id" in p0, p0

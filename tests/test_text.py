@@ -261,6 +261,36 @@ def test_cap_per_group_id_tiebreak(spark):
     assert sorted(out["doc_id"]) == list(range(6))
 
 
+def test_stratified_sample_deterministic_nested_proportioned(spark):
+    import pandas as pd_
+
+    docs = spark.createDataFrame(
+        pd_.DataFrame(
+            {
+                "doc_id": range(6000),
+                "source": [f"s{i % 3}" for i in range(6000)],
+                "text": ["x"] * 6000,
+            }
+        )
+    )
+    fr = {"s0": 0.9, "s1": 0.2, "s2": 0.0}
+    a = text.stratified_sample(docs, fr).toPandas()
+    b = text.stratified_sample(docs, fr).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # rerun-stable
+    frac = a.groupby("source").size() / 2000.0
+    assert abs(frac.get("s0", 0) - 0.9) < 0.03
+    assert abs(frac.get("s1", 0) - 0.2) < 0.03
+    assert "s2" not in frac.index  # fraction 0 keeps nothing
+    # nesting: the 20% sample of s1 is a subset of a 60% sample
+    big = text.stratified_sample(docs, {"s0": 0.9, "s1": 0.6, "s2": 0.0}).toPandas()
+    assert set(a["doc_id"]) <= set(big["doc_id"])
+    # invalid fraction fails loudly
+    import pytest as pytest_
+
+    with pytest_.raises(ValueError):
+        text.stratified_sample(docs, {"s0": 1.5})
+
+
 def test_pack_sequences_bin_invariants(spark):
     import pandas as pd_
 

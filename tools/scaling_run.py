@@ -16,7 +16,8 @@ Steal robustness: this shared VM suffers intermittent EXTERNAL cpu steal
 leg. The level sequence therefore runs ``--rounds`` times (interleaved
 2,8,32,2,8,32 — steal at any moment hits at most one leg of one round) and
 each (query, level) takes the MIN across rounds of the in-run
-median-of-3: for a deterministic workload the min is the unbiased
+per-query estimate (bench.py's headline is itself min-of-reps since
+round 4): for a deterministic workload the min is the unbiased
 estimator under additive contention noise.
 
 Efficiency = (T_N / T_4N) / 4; results appended to BENCH.md.
@@ -41,7 +42,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_HEAVY"] = "1"  # workload >> fixed job overhead
-    env["SPARK_GRAFT_BENCH_REPS"] = "3"  # median-of-3 (noisy shared VM)
+    env["SPARK_GRAFT_BENCH_REPS"] = "3"  # min-of-3 headline (noisy shared VM)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
