@@ -926,6 +926,40 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source certification: documents decorated with JSON-hostile
+    content (double quote, backslash, braces, newline, tab, non-ASCII)
+    written as JSON-lines and read back through sources.read_jsonl with an
+    explicit schema — recovered text must equal the oracle's straight
+    concatenation, proving escaping round-trips losslessly."""
+    from geoengine.sources import read_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hostile = docs.select(
+        "doc_id",
+        F.concat(F.lit('q"\\{}\n\t\u00fc '), F.col("text")).alias("hostile_text"),
+    )
+    _sweep_stale_scratch("/tmp/geoeng_jsonl_roundtrip_")
+    out_dir = f"/tmp/geoeng_jsonl_roundtrip_{spark.sparkContext.applicationId}"
+    hostile.write.mode("overwrite").json(out_dir)
+    back = read_jsonl(spark, out_dir,
+                      schema="doc_id long, hostile_text string")
+    return back.select("doc_id", "hostile_text")
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink certification: the documents table written as ORC
+    and read back through sources.read_orc must be byte-identical (the
+    second columnar interchange format next to parquet)."""
+    from geoengine.sources import read_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _sweep_stale_scratch("/tmp/geoeng_orc_roundtrip_")
+    out_dir = f"/tmp/geoeng_orc_roundtrip_{spark.sparkContext.applicationId}"
+    docs.write.mode("overwrite").orc(out_dir)
+    return read_orc(spark, out_dir).select("doc_id", "source", "text")
+
+
 def q_nosql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 parity surface: the reference's external-store document model
     (one row per exact 40-bit cell, binary-geohash string key, member
@@ -1142,6 +1176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "snapshot_search": q_snapshot_search,
     "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
@@ -1184,11 +1220,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_tiles": q_image_tiles,
     "radius_pairs_miles": q_radius_pairs_miles,
     "radius_pairs_prefix": q_radius_pairs_prefix,
-    "explode_results": q_explode_results,
-    "topk_parity": q_topk_parity,
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     # -- 51+: rotation bench (driver-green r01-r03; local-twin coverage) --
+    "explode_results": q_explode_results,
+    "topk_parity": q_topk_parity,
     "nation_join": q_nation_join,
     "bbox": q_bbox,
     "record_count": q_record_count,
@@ -1624,6 +1660,15 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": """
             SELECT doc_id, 'a,"b"' || chr(10) || text AS hostile_text
             FROM documents
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id,
+                   'q"\\{}' || chr(10) || chr(9) || chr(252) || ' ' || text
+                   AS hostile_text
+            FROM documents
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id, source, text FROM documents
         """,
         "nosql_view": f"""
             WITH p0 AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon

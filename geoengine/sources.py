@@ -44,6 +44,33 @@ def read_points_csv(spark: SparkSession, path: str, **renames: str) -> DataFrame
     return coerce_points(read_csv(spark, path), **renames)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (one object per line — the interchange format of
+    most crawl/training pipelines). An explicit schema skips Spark's
+    inference pass (one full extra scan at 100 TB — always pass it in
+    production); JSON string escaping makes embedded newlines/quotes/
+    unicode lossless by construction."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_points_jsonl(spark: SparkSession, path: str, schema=None,
+                      **renames: str) -> DataFrame:
+    return coerce_points(read_jsonl(spark, path, schema), **renames)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source — the other columnar interchange format next to
+    parquet (same pushdown/pruning behavior under Catalyst)."""
+    return spark.read.orc(path)
+
+
+def read_points_orc(spark: SparkSession, path: str, **renames: str) -> DataFrame:
+    return coerce_points(read_orc(spark, path), **renames)
+
+
 def read_points_parquet(spark: SparkSession, path: str, **renames: str) -> DataFrame:
     return coerce_points(spark.read.parquet(path), **renames)
 
