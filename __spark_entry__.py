@@ -960,6 +960,21 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, out_dir).select("doc_id", "source", "text")
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual-hash (batched DCT) + block-pigeonhole
+    candidate join over the 600-row near-dup image fixture (every i%5==3 a
+    2%-noise twin of i-1; measured twin hamming <=2, independent >=22). The
+    oracle enumerates the exact expected pair set from the index arithmetic
+    — kernel drift or recall loss fails the gate loudly."""
+    from geoengine.fixtures import near_dup_images_table
+    from geoengine.images import phash_near_dup_pairs
+
+    imgs = near_dup_images_table(spark, 600)
+    return phash_near_dup_pairs(imgs).select(
+        F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+    )
+
+
 def q_nosql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 parity surface: the reference's external-store document model
     (one row per exact 40-bit cell, binary-geohash string key, member
@@ -1178,6 +1193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "image_near_dup": q_image_near_dup,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
@@ -1218,11 +1234,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_phash": q_images_phash,
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
-    "radius_pairs_miles": q_radius_pairs_miles,
     "radius_pairs_prefix": q_radius_pairs_prefix,
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     # -- 51+: rotation bench (driver-green r01-r03; local-twin coverage) --
+    "radius_pairs_miles": q_radius_pairs_miles,
     "explode_results": q_explode_results,
     "topk_parity": q_topk_parity,
     "nation_join": q_nation_join,
@@ -1669,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, source, text FROM documents
+        """,
+        "image_near_dup": """
+            SELECT printf('img%010d', i - 1) AS id1,
+                   printf('img%010d', i) AS id2
+            FROM range(0, 600) t(i) WHERE i % 5 = 3
         """,
         "nosql_view": f"""
             WITH p0 AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon

@@ -119,6 +119,57 @@ def images_pandas(n: int, seed: int = 42) -> pd.DataFrame:
     return _make_batch(list(range(n)), seed)
 
 
+NEAR_DUP_IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string"
+)
+
+
+def _near_dup_batch(ids: list[int], seed: int) -> pd.DataFrame:
+    """Deterministic 32x32 raw images where every index with i%5==3 is a
+    NOISED TWIN of index i-1 (same base pixels, ~2% of pixels perturbed
+    +-10 — measured phash hamming <=2 vs >=22 for independent pairs).
+    Each row is derivable from its index alone (family pixels re-seeded
+    from the family index), so workers never need the neighbor row and a
+    DuckDB range() oracle can enumerate the exact expected pair set."""
+    rows = []
+    for i in ids:
+        fam = i - 1 if i % 5 == 3 else i
+        px = (
+            np.random.default_rng(seed ^ (fam * 2654435761 % (1 << 63)))
+            .integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        )
+        if fam != i:  # twin: sparse deterministic noise keyed by OWN index
+            nz = np.random.default_rng((seed + 1) ^ (i * 40503 % (1 << 61)))
+            mask = nz.random((32, 32, 3)) < 0.02
+            delta = nz.integers(-10, 11, size=(32, 32, 3))
+            px = np.clip(px.astype(np.int64) + mask * delta, 0, 255).astype(
+                np.uint8
+            )
+        rows.append(
+            {
+                "image_id": f"img{i:010d}",
+                "bytes": px.tobytes(),
+                "w": 32,
+                "h": 32,
+                "fmt": "raw",
+                "caption": f"cap{i}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def near_dup_images_table(spark: SparkSession, n: int, seed: int = 42,
+                          partitions: int | None = None) -> DataFrame:
+    """Distributed near-dup image fixture (see _near_dup_batch)."""
+    base = spark.range(0, n, 1, partitions or 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _near_dup_batch([int(i) for i in b["id"]], seed)
+
+    return base.mapInPandas(gen, schema=NEAR_DUP_IMAGE_SCHEMA)
+
+
 VIDEO_SCHEMA = (
     "video_id string, bytes binary, w int, h int, fmt string"
 )

@@ -474,6 +474,51 @@ def minhash_near_dup_pairs(
     )
 
 
+def hash_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Generic 64-bit-hash near-dup via block pigeonhole — works on ANY
+    int64 signature column (simhash of text, phash of images, ...). Split
+    the hash into 64/block_bits exact blocks; a pair within hamming<=k
+    MUST share >=1 unchanged block whenever k < 64/block_bits (pigeonhole
+    — exact recall in that regime; wider k is recall-bounded) -> equi-join
+    per (block index, block value), exact popcount filter. Never an
+    all-pairs plan: candidates come from the block equi-join.
+
+    Output: (id1, id2, hamming), id1 < id2, each pair once."""
+    d = df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64"))
+    blocked = d.select(
+        "doc",
+        "_h64",
+        block_split_expr(block_bits, "_h64").alias("bb"),
+    ).select("doc", "_h64", "bb.blk", "bb.val")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc1"),
+            F.col("r.doc").alias("doc2"),
+            F.col("l._h64").alias("h1"),
+            F.col("r._h64").alias("h2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -486,34 +531,12 @@ def simhash_near_dup_pairs(
     (pigeonhole for k<=3 with 4 blocks; wider k accepted as recall-bounded)
     -> equi-join per block, exact popcount filter."""
     sim = make_simhash_udf()
-    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col)).withColumn(
+    d = docs.select(F.col(id_col), F.col(text_col)).withColumn(
         "simhash", sim(F.col(text_col))
     ).drop(text_col)
-    blocked = d.select(
-        "doc",
-        "simhash",
-        block_split_expr(block_bits).alias("bb"),
-    ).select("doc", "simhash", "bb.blk", "bb.val")
-    l, r = blocked.alias("l"), blocked.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(
-            F.col("l.doc").alias("doc1"),
-            F.col("r.doc").alias("doc2"),
-            F.col("l.simhash").alias("h1"),
-            F.col("r.simhash").alias("h2"),
-        )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
+    return hash_near_dup_pairs(
+        d, "simhash", id_col=id_col,
+        max_hamming=max_hamming, block_bits=block_bits,
     )
 
 

@@ -92,3 +92,23 @@ def test_resize_images_shape(spark):
     sdf = fixtures.images_table(spark, 12, partitions=2)
     out = images.resize_images(sdf, 8, 8).select("bytes_resized").toPandas()
     assert all(len(b) == 8 * 8 * 3 for b in out["bytes_resized"])
+
+
+def test_phash_near_dup_exact_pair_set(spark):
+    """Block-pigeonhole phash near-dup: recovers EXACTLY the noised-twin
+    pairs (2% pixel noise, hamming <=2) with zero false positives among
+    independent images (hamming >=22 measured); stored-phash path skips
+    the decode stage and agrees."""
+    from geoengine.fixtures import near_dup_images_table
+    from geoengine.images import phash_near_dup_pairs, with_computed_phash
+
+    imgs = near_dup_images_table(spark, 200, partitions=4)
+    got = phash_near_dup_pairs(imgs).toPandas()
+    want = {(f"img{i-1:010d}", f"img{i:010d}") for i in range(200) if i % 5 == 3}
+    assert set(zip(got["doc1"], got["doc2"])) == want
+    assert (got["hamming"] <= 7).all()
+
+    # stored-hash path: precompute once, reuse — same answer, no decode
+    stored = with_computed_phash(imgs, out="phash")
+    got2 = phash_near_dup_pairs(stored, phash_col="phash").toPandas()
+    assert set(zip(got2["doc1"], got2["doc2"])) == want
