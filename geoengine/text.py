@@ -247,7 +247,12 @@ def hash_bucket(id_col: str, salt: str) -> Column:
     """Content-stable uniform [0,1) bucket: md5(salt||id) first 8 hex
     digits mod 1e6. md5 (not xxhash64) so ANY engine — the DuckDB oracle
     included — reproduces the value bit-exactly; the salt keys independent
-    bucketings. Shared by hash_split and stratified_sample."""
+    bucketings. Shared by hash_split and stratified_sample.
+
+    NULL ids produce a NULL bucket (SQL semantics on both engines):
+    stratified_sample drops such rows (NULL < f is not true);
+    hash_split lands them in the LAST split name (every when() is NULL).
+    Deduplicate/validate ids upstream if that matters."""
     return (
         F.conv(
             F.substring(
