@@ -231,31 +231,29 @@ def radius_join_pairs_prefix(
     )
 
 
-def radius_join_pairs(
+def _radius_join_core(
     origins: DataFrame,
     neighbors: DataFrame,
-    radius: float,
-    unit: str = "km",
-    half_bits: int | None = None,
-    strategy: str = "auto",
-    origin_prefix: str = "origin_",
-    neighbor_prefix: str = "neighbor_",
-    validate: bool = True,
-    broadcast_threshold_rows: int = 2_000_000,
+    r_km_of,
+    hb: int,
+    unit: str,
+    strategy: str,
+    origin_prefix: str,
+    neighbor_prefix: str,
+    validate: bool,
 ) -> DataFrame:
-    """Flat (origin, neighbor, distance) pairs with distance <= radius.
+    """The ONE radius-join pipeline both public surfaces share: validate ->
+    prefix-alias -> per-origin covering-cell explode at ``r_km_of``'s
+    radius -> single int64 equi-join -> codegen'd law-of-cosines ``<=``
+    refinement against the same radius -> distance in the inquiry unit.
 
-    Boundary semantics match the reference: strictly-greater is dropped
-    (``SparkDS.scala:87-90``), so equal-distance points are kept. Output
-    distance column ``distance_km`` plus ``distance`` in the inquiry unit
-    (reference reports in inquiry unit, SparkDS.scala:84-86).
-
-    Both inputs must have columns (id, latitude, longitude); extra columns
-    are carried through with the side prefix.
+    ``r_km_of(prefixed_origin_cols_visible) -> Column`` builds the
+    radius-in-km expression AFTER origin columns are prefixed, so it can be
+    a literal (uniform radius) or reference a per-row origin column. Using
+    one core keeps coverage math, boundary semantics (`<=`, strictly-
+    greater dropped, SparkDS.scala:87-90) and unit reporting from ever
+    diverging between the two surfaces.
     """
-    radius_km = to_km(float(radius), unit)
-    hb = half_bits if half_bits is not None else pick_half_bits(radius_km)
-
     if validate:
         origins = validate_points(origins)
         neighbors = validate_points(neighbors)
@@ -267,13 +265,15 @@ def radius_join_pairs(
         [F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
     )
 
+    r_km = r_km_of()
     probe = explode_covering_cells(
-        o, radius_km, hb, lat=origin_prefix + "latitude", lon=origin_prefix + "longitude"
+        o, r_km, hb,
+        lat=origin_prefix + "latitude", lon=origin_prefix + "longitude",
     )
     build = with_grid_cell(
-        nb, hb, lat=neighbor_prefix + "latitude", lon=neighbor_prefix + "longitude"
+        nb, hb, lat=neighbor_prefix + "latitude",
+        lon=neighbor_prefix + "longitude",
     )
-
     if strategy == "broadcast":
         build = F.broadcast(build)
     # strategy == "auto": no hint — Catalyst's autoBroadcastJoinThreshold
@@ -287,16 +287,45 @@ def radius_join_pairs(
         F.col(neighbor_prefix + "latitude"),
         F.col(neighbor_prefix + "longitude"),
     )
-    joined = (
+    return (
         probe.join(build, "gkey")
         .withColumn("distance_km", d_km)
-        .where(F.col("distance_km") <= F.lit(radius_km))
+        .where(F.col("distance_km") <= r_km)
         .withColumn(
             "distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit))
         )
         .drop("gkey")
     )
-    return joined
+
+
+def radius_join_pairs(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius: float,
+    unit: str = "km",
+    half_bits: int | None = None,
+    strategy: str = "auto",
+    origin_prefix: str = "origin_",
+    neighbor_prefix: str = "neighbor_",
+    validate: bool = True,
+) -> DataFrame:
+    """Flat (origin, neighbor, distance) pairs with distance <= radius.
+
+    Boundary semantics match the reference: strictly-greater is dropped
+    (``SparkDS.scala:87-90``), so equal-distance points are kept. Output
+    distance column ``distance_km`` plus ``distance`` in the inquiry unit
+    (reference reports in inquiry unit, SparkDS.scala:84-86).
+
+    Both inputs must have columns (id, latitude, longitude); extra columns
+    are carried through with the side prefix. The uniform radius is just
+    the literal-radius case of :func:`_radius_join_core`.
+    """
+    radius_km = to_km(float(radius), unit)
+    hb = half_bits if half_bits is not None else pick_half_bits(radius_km)
+    return _radius_join_core(
+        origins, neighbors, lambda: F.lit(radius_km), hb, unit,
+        strategy, origin_prefix, neighbor_prefix, validate,
+    )
 
 
 def radius_join_pairs_per_row(
@@ -316,11 +345,12 @@ def radius_join_pairs_per_row(
     The reference's ``SearchInquery`` model has per-row ``radius`` (and
     ``maxResults``), ``DataStore.scala:29-41`` — its pipelines only ever set
     one value per table, but a mixed-radius inquiry table is the natural
-    generalization. Same plan shape as :func:`radius_join_pairs`: the ONLY
-    differences are (a) covering cells are exploded at each row's own
-    radius (small-radius rows produce fewer probe cells — the fanout is
-    row-proportional, not worst-case), and (b) the exact-distance
-    refinement compares against the row's radius column.
+    generalization. Same pipeline as :func:`radius_join_pairs` (shared
+    ``_radius_join_core``): the ONLY differences are (a) covering cells
+    are exploded at each row's own radius (small-radius rows produce fewer
+    probe cells — the fanout is row-proportional, not worst-case), and
+    (b) the exact-distance refinement compares against the row's radius
+    column.
 
     Grid resolution is one global choice sized to the LARGEST radius
     (``max_radius`` in ``unit``; computed with one bounded scalar agg when
@@ -331,10 +361,6 @@ def radius_join_pairs_per_row(
     Output carries ``origin_<radius_col>`` through, so callers can chain
     per-row top-k (``top_n_per_origin(..., n="origin_max_results")``).
     """
-    if validate:
-        origins = validate_points(origins)
-        neighbors = validate_points(neighbors)
-
     if max_radius is None:
         # bounded: a scalar max over one numeric column (extra pass; at
         # 100 TB supply the application-known bound instead)
@@ -343,40 +369,10 @@ def radius_join_pairs_per_row(
             max_radius = 1.0  # empty input: any resolution works
     max_km = to_km(float(max_radius), unit)
     hb = half_bits if half_bits is not None else pick_half_bits(max_km)
-
-    o = origins.select(
-        [F.col(c).alias(origin_prefix + c) for c in origins.columns]
-    )
-    nb = neighbors.select(
-        [F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
-    )
-
-    r_km = exprs.radius_as_km(
-        F.col(origin_prefix + radius_col).cast("double"), F.lit(unit)
-    )
-    probe = explode_covering_cells(
-        o, r_km, hb,
-        lat=origin_prefix + "latitude", lon=origin_prefix + "longitude",
-    )
-    build = with_grid_cell(
-        nb, hb, lat=neighbor_prefix + "latitude",
-        lon=neighbor_prefix + "longitude",
-    )
-    if strategy == "broadcast":
-        build = F.broadcast(build)
-
-    d_km = exprs.dist_km(
-        F.col(origin_prefix + "latitude"),
-        F.col(origin_prefix + "longitude"),
-        F.col(neighbor_prefix + "latitude"),
-        F.col(neighbor_prefix + "longitude"),
-    )
-    return (
-        probe.join(build, "gkey")
-        .withColumn("distance_km", d_km)
-        .where(F.col("distance_km") <= r_km)
-        .withColumn(
-            "distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit))
-        )
-        .drop("gkey")
+    return _radius_join_core(
+        origins, neighbors,
+        lambda: exprs.radius_as_km(
+            F.col(origin_prefix + radius_col).cast("double"), F.lit(unit)
+        ),
+        hb, unit, strategy, origin_prefix, neighbor_prefix, validate,
     )

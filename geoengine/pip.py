@@ -115,6 +115,30 @@ def points_in_multipolygons(
     cell -> equi-join on cell -> exact ray-cast UDF on survivors only,
     batch-grouped by poly_id.
     """
+    cov = polygon_covering_cells(polygons, half_bits, poly_id, rings_col)
+    pts = with_grid_cell(points, half_bits)
+    cand = pts.join(cov, "gkey")
+    hit = cand.where(
+        _pip_udf()(
+            F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
+            F.col("_rlat"), F.col("_rlon"), F.col("_wrap"),
+        )
+    )
+    return hit.select(F.col(point_id).alias("point_id"), poly_id)
+
+
+def polygon_covering_cells(
+    polygons: DataFrame,
+    half_bits: int,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """The polygon side of the PIP prefilter join: one row per (polygon,
+    covering grid cell), plus the per-polygon ring arrays and batch-group
+    key the exact UDF consumes. Public so tests can pin the covering-set
+    ECONOMY (e.g. a seam-crossing polygon must yield a seam-local set, not
+    a near-world one) against the engine's ACTUAL plan, not a re-derivation.
+    """
     flat = f"flatten({rings_col})"
     n = 1 << half_bits
     polys = polygons.select(
@@ -187,15 +211,7 @@ def points_in_multipolygons(
         .withColumn("gkey", exprs.grid_key(F.col("_gx"), F.col("_gy"), half_bits))
         .select(poly_id, "_geom_key", "_wrap", "_rlat", "_rlon", "gkey")
     )
-    pts = with_grid_cell(points, half_bits)
-    cand = pts.join(cov, "gkey")
-    hit = cand.where(
-        _pip_udf()(
-            F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
-            F.col("_rlat"), F.col("_rlon"), F.col("_wrap"),
-        )
-    )
-    return hit.select(F.col(point_id).alias("point_id"), poly_id)
+    return cov
 
 
 def points_in_polygons(

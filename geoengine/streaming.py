@@ -128,24 +128,31 @@ def run_stream_until_idle(out: DataFrame, name: str, output_mode: str,
     )
     t0 = time.time()
     last_data = time.time()
-    saw_progress = False
-    while time.time() - t0 < timeout_s:
+    while True:
         time.sleep(1.0)
         if not q.isActive:
+            # terminated on its own: either a clean finish (legal for a
+            # non-TTL stream under availableNow) or a FAILURE — a silent
+            # partial table masquerading as a result is the one outcome
+            # this runner must never produce, so surface the real error
+            ex = q.exception()
+            if ex is not None:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+                raise ex
             break
         lp = q.lastProgress or {}
-        if not lp:
-            continue
-        saw_progress = True
         if lp.get("numInputRows"):
             last_data = time.time()
-        if time.time() - last_data > idle_s:
-            break
+        if lp and time.time() - last_data > idle_s:
+            break  # drained: several consecutive zero-input batches
+        if time.time() - t0 > timeout_s:
+            q.stop()
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            raise TimeoutError(
+                f"stream {name!r} did not drain in {timeout_s}s"
+            )
     if q.isActive:
         q.stop()
-    if not saw_progress:
-        shutil.rmtree(tmpdir, ignore_errors=True)
-        raise TimeoutError(f"stream {name!r} made no progress in {timeout_s}s")
     result = out.sparkSession.table(name)
     shutil.rmtree(tmpdir, ignore_errors=True)
     return result

@@ -206,31 +206,19 @@ def test_antimeridian_polygon_matches_shifted_bruteforce(spark):
             want.add(f"p{i}")
     assert got == want and 0 < len(want) < 400
 
-    # covering-cell economy: seam polygon spans ~20 deg of longitude; at
-    # half_bits=6 (5.6 deg cells) the x-extent must stay local (<8 cells),
-    # not the ~64-cell world-spanning set the raw bbox would give
-    from geoengine import exprs as ex
+    # covering-cell economy, measured on the ENGINE's actual prefilter
+    # side (polygon_covering_cells is exactly what points_in_multipolygons
+    # joins against): the seam polygon spans ~20 deg of longitude, so at
+    # half_bits=6 (5.6 deg cells) the distinct x-extent must stay local
+    # (<=6 cells), not the ~64-cell world-spanning set the raw
+    # array_min/array_max bbox would give.
     from pyspark.sql import functions as F
 
+    from geoengine.pip import polygon_covering_cells
+
     n = 1 << 6
-    cov = (
-        polys.select(
-            F.explode(
-                F.sequence(
-                    F.floor((F.expr(
-                        "array_min(transform(flatten(transform(rings, r -> "
-                        "transform(r, p -> CASE WHEN p.lon < 0.0D THEN "
-                        "named_struct('lon', p.lon + 360.0D) ELSE "
-                        "named_struct('lon', p.lon) END))), x -> x.lon))"
-                    ) + 180.0) / 360.0 * float(n)).cast("long"),
-                    F.floor((F.expr(
-                        "array_max(transform(flatten(transform(rings, r -> "
-                        "transform(r, p -> CASE WHEN p.lon < 0.0D THEN "
-                        "named_struct('lon', p.lon + 360.0D) ELSE "
-                        "named_struct('lon', p.lon) END))), x -> x.lon))"
-                    ) + 180.0) / 360.0 * float(n)).cast("long"),
-                )
-            ).alias("gx")
-        )
-    ).count()
-    assert cov <= 8
+    cov = polygon_covering_cells(polys, 6).select(
+        (F.col("gkey") / n).cast("long").alias("gx")
+    )
+    assert cov.select("gx").distinct().count() <= 6
+    assert cov.count() <= 6 * 10  # x-extent times the ~8-cell lat span
