@@ -228,7 +228,7 @@ def radius_join_pairs_bucketed(
     spark,
     origins: DataFrame,
     index_table: str,
-    radius: float,
+    radius,
     unit: str = "km",
     half_bits: int | None = None,
     origin_prefix: str = "origin_",
@@ -238,8 +238,14 @@ def radius_join_pairs_bucketed(
     bucket order with no Exchange (plan-asserted in tests). The join MUST
     run at the resolution the index was built at — it is read from the
     table properties and validated against half_bits when both exist
-    (a mismatch would silently drop every pair)."""
-    radius_km = to_km(float(radius), unit)
+    (a mismatch would silently drop every pair).
+
+    ``radius`` is a float (uniform) or the NAME of a per-row radius column
+    on ``origins`` (R4 full generality on the scale path too): the index
+    resolution is fixed at build time either way — per-row radii only vary
+    how many covering cells each origin probes, so mixed-radius inquiry
+    tables run against the same prebuilt index with no rebuild."""
+    per_row = isinstance(radius, str)
     built_hb = bucketed_index_half_bits(spark, index_table)
     if half_bits is not None and built_hb is not None and half_bits != built_hb:
         raise ValueError(
@@ -255,8 +261,14 @@ def radius_join_pairs_bucketed(
     o = validate_points(origins).select(
         *[F.col(c).alias(origin_prefix + c) for c in origins.columns]
     )
+    if per_row:
+        r_km = exprs.radius_as_km(
+            F.col(origin_prefix + radius).cast("double"), F.lit(unit)
+        )
+    else:
+        r_km = F.lit(to_km(float(radius), unit))
     probe = explode_covering_cells(
-        o, radius_km, hb,
+        o, r_km, hb,
         lat=origin_prefix + "latitude", lon=origin_prefix + "longitude",
     )
     build = spark.table(index_table)
@@ -269,7 +281,7 @@ def radius_join_pairs_bucketed(
     return (
         probe.join(build, "gkey")
         .withColumn("distance_km", d_km)
-        .where(F.col("distance_km") <= F.lit(radius_km))
+        .where(F.col("distance_km") <= r_km)
         .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit)))
         .drop("gkey")
     )

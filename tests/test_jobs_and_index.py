@@ -184,3 +184,43 @@ def test_bucketed_index_join_elides_build_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucketed_nb")
+
+
+def test_bucketed_index_per_row_radius(spark):
+    """Per-row radius against the SAME prebuilt index (no rebuild): bucketed
+    answer == plain per-row join answer, still no build-side Exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from geoengine.index import (
+        radius_join_pairs_bucketed,
+        write_bucketed_neighbor_index,
+    )
+    from geoengine.join import pick_half_bits, radius_join_pairs_per_row
+
+    rng = np.random.default_rng(17)
+    origins = spark.createDataFrame(pd.DataFrame({
+        "id": [f"o{i}" for i in range(150)],
+        "latitude": rng.uniform(-60, 60, 150),
+        "longitude": rng.uniform(-170, 170, 150),
+        "radius_km": (50.0 + (np.arange(150) % 6) * 90.0),  # 50..500 km
+    }))
+    neighbors = spark.createDataFrame(pd.DataFrame({
+        "id": [f"n{i}" for i in range(300)],
+        "latitude": rng.uniform(-60, 60, 300),
+        "longitude": rng.uniform(-170, 170, 300),
+    }))
+    hb = pick_half_bits(500.0)
+    write_bucketed_neighbor_index(neighbors, "t_bucketed_prr", hb, n_buckets=8)
+    try:
+        got = radius_join_pairs_bucketed(
+            spark, origins, "t_bucketed_prr", "radius_km", "km", half_bits=hb
+        )
+        want = radius_join_pairs_per_row(
+            origins, neighbors, radius_col="radius_km", unit="km", half_bits=hb
+        )
+        g = set(map(tuple, got.select("origin_id", "neighbor_id").collect()))
+        w = set(map(tuple, want.select("origin_id", "neighbor_id").collect()))
+        assert g == w and len(w) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_prr")
