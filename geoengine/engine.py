@@ -75,6 +75,43 @@ def search(
     )
 
 
+def search_per_row(
+    origins: DataFrame,
+    neighbors: DataFrame,
+    radius_col: str = "radius",
+    unit: str = "km",
+    max_results_col: str | None = "max_results",
+    half_bits: int | None = None,
+    max_radius: float | None = None,
+    strategy: str = "auto",
+    include_search_space: bool = True,
+    timing: bool = False,
+) -> DataFrame:
+    """The reference's FULL SearchInquery model end-to-end: each origin row
+    carries its own ``radius`` (in ``unit``) and optionally its own
+    ``maxResults`` cap (``DataStore.scala:29-41``) — nested SearchResult
+    rows out, searchSpace rendered at each origin's own radius. Same plan
+    family as :func:`search`; see ``radius_join_pairs_per_row`` for the
+    resolution/scale notes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .join import radius_join_pairs_per_row
+    from .topk import top_n_per_origin as _topk
+
+    o = coerce_points(origins)
+    nb = coerce_points(neighbors)
+    pairs = radius_join_pairs_per_row(
+        o, nb, radius_col=radius_col, unit=unit,
+        half_bits=half_bits, max_radius=max_radius, strategy=strategy,
+    )
+    if max_results_col is not None:
+        pairs = _topk(pairs, "origin_" + max_results_col)
+    return assemble_search_results(
+        pairs, unit=unit, radius="origin_" + radius_col,
+        include_search_space=include_search_space, timing=timing,
+    )
+
+
 def search_miles(
     origins: DataFrame, neighbors: DataFrame, radius: float,
     max_results: int = 10, **kw,

@@ -29,12 +29,17 @@ from .geodesy import to_km
 def assemble_search_results(
     pairs: DataFrame,
     unit: str = "km",
-    radius: float | None = None,
+    radius: float | str | None = None,
     bits: int = 40,
     include_search_space: bool = True,
     timing: bool = False,
 ) -> DataFrame:
     """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows.
+
+    ``radius`` is a float (uniform inquiry radius) or the NAME of a
+    per-origin radius column on ``pairs`` (e.g. ``origin_radius_km`` from
+    the per-row join) — the searchSpace prefix is then rendered at each
+    origin's own radius.
 
     ``timing=False`` (default) emits a deterministic 0.0 searchTimerSeconds
     — schema parity with the reference, pure-JVM plan (no Python stage);
@@ -42,6 +47,7 @@ def assemble_search_results(
     per-row PARITY mode: real per-origin amortized pipeline wall-clock via
     metrics.with_batch_timing (an Arrow mapInPandas tail stage — pay it
     only when per-row timers are the point)."""
+    per_row_radius = isinstance(radius, str)
     neigh = F.struct(
         F.struct(
             F.col("neighbor_id").alias("id"),
@@ -51,9 +57,12 @@ def assemble_search_results(
         F.col("distance").alias("euclideanDistance"),
         F.lit(unit).alias("ms"),
     )
+    keys = ["origin_id", "origin_latitude", "origin_longitude"]
+    if per_row_radius:
+        keys.append(radius)  # functionally dependent on origin_id
     grouped = (
         pairs.withColumn("_n", neigh)
-        .groupBy("origin_id", "origin_latitude", "origin_longitude")
+        .groupBy(*keys)
         .agg(F.collect_list("_n").alias("_neighbors"))
     )
     out = grouped.select(
@@ -72,16 +81,23 @@ def assemble_search_results(
         ).alias("neighbors"),
         F.col("origin_latitude").alias("_lat"),
         F.col("origin_longitude").alias("_lon"),
+        *([F.col(radius).alias("_rkm_src")] if per_row_radius else []),
     )
     if include_search_space and radius is not None:
+        from . import exprs
+
         render = udfs.make_search_space_string_udf(bits)
+        r_km = (
+            exprs.radius_as_km(F.col("_rkm_src").cast("double"), F.lit(unit))
+            if per_row_radius
+            else F.lit(to_km(radius, unit))
+        )
         out = out.withColumn(
-            "searchSpace",
-            render(F.col("_lat"), F.col("_lon"), F.lit(to_km(radius, unit))),
+            "searchSpace", render(F.col("_lat"), F.col("_lon"), r_km)
         )
     else:
         out = out.withColumn("searchSpace", F.lit(""))
-    out = out.drop("_lat", "_lon")
+    out = out.drop("_lat", "_lon", "_rkm_src")
     if timing:
         from .metrics import with_batch_timing
 
