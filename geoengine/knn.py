@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import exprs
@@ -33,12 +33,18 @@ from .join import validate_points, with_grid_cell
 KM_PER_DEG = math.pi * EARTH_RADIUS_KM / 180.0
 
 
-def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+def _ranked(pairs: DataFrame, k) -> DataFrame:
+    """``k`` is an int (uniform) or a column name / Column carrying the
+    per-origin k (the SearchInquery per-row maxResults model) — same
+    single window either way."""
+    cap = F.col(k) if isinstance(k, str) else (
+        k if isinstance(k, Column) else F.lit(int(k))
+    )
     w = Window.partitionBy("origin_id").orderBy(
         F.col("distance_km").asc(), F.col("neighbor_id").asc()
     )
     return pairs.withColumn("knn_rank", F.row_number().over(w)).where(
-        F.col("knn_rank") <= k
+        F.col("knn_rank") <= cap
     )
 
 
@@ -57,7 +63,11 @@ def _prefixed(df: DataFrame, p: str) -> DataFrame:
     return df.select([F.col(c).alias(p + c) for c in df.columns])
 
 
-def knn_join_brute(origins: DataFrame, neighbors: DataFrame, k: int) -> DataFrame:
+def knn_join_brute(origins: DataFrame, neighbors: DataFrame, k) -> DataFrame:
+    """Broadcast cross-join kNN. ``k``: int, or the name of a PER-ROW cap
+    column as it appears after origin prefixing (an origins column ``k``
+    becomes ``origin_k`` here) — the SearchInquery per-row maxResults
+    model on the kNN surface."""
     o = _prefixed(validate_points(origins), "origin_")
     nb = _prefixed(validate_points(neighbors), "neighbor_")
     return _ranked(_pairs_dist(o, F.broadcast(nb), "cross"), k)
@@ -137,6 +147,16 @@ def knn_join_rings(
     otherwise long-lived sessions issuing many unrelated kNN jobs should
     spark.catalog.clearCache() between them if storage pressure matters.
     """
+    if not isinstance(k, int):
+        # the per-round certification arithmetic (k-th distance vs ring
+        # bound) assumes one global k; for per-row caps run the brute
+        # surface (knn_join(..., strategy='brute', k='origin_<col>')) or
+        # rings at max(k) then filter knn_rank <= the per-row cap
+        raise TypeError(
+            "knn_join_rings requires an int k; use knn_join_brute for a "
+            "per-row k column"
+        )
+
     def _cached(df: DataFrame) -> DataFrame:
         df = df.cache()
         if cache_registry is not None:
@@ -328,7 +348,9 @@ def knn_join(
     broadcast_threshold_bytes: int | None = None,
     **kw,
 ) -> DataFrame:
-    if strategy == "brute":
+    if strategy == "brute" or not isinstance(k, int):
+        # per-row k (column name/Column) runs on the brute surface only —
+        # the ring loop's certification arithmetic assumes one global k
         return knn_join_brute(origins, neighbors, k)
     if strategy == "rings":
         return knn_join_rings(origins, neighbors, k, **kw)

@@ -344,6 +344,29 @@ def streaming_radius_pairs(
                              unit, **kw)
 
 
+def streaming_radius_pairs_per_row(
+    stream_origins: DataFrame,
+    static_neighbors: DataFrame,
+    max_radius: float,
+    radius_col: str = "radius",
+    unit: str = "km",
+    **kw,
+) -> DataFrame:
+    """Per-row-radius variant of :func:`streaming_radius_pairs`: each
+    streamed origin row carries its own radius (the reference's full
+    SearchInquery model on a live feed). ``max_radius`` is REQUIRED here —
+    the batch path's fallback (a scalar max() agg over the origins) is not
+    executable on an unbounded stream, so the application supplies the
+    bound that sizes the one global grid resolution. Otherwise the exact
+    batch plan, stateless per micro-batch."""
+    from .join import radius_join_pairs_per_row
+
+    return radius_join_pairs_per_row(
+        stream_origins, static_neighbors, radius_col=radius_col, unit=unit,
+        max_radius=max_radius, **kw,
+    )
+
+
 def streaming_cell_counts(
     stream: DataFrame,
     half_bits: int,

@@ -171,3 +171,38 @@ def test_plan_stats_fallback(spark):
     df._jdf = _NoQE()
     assert _plan_stats(df) == (None, None)
     assert estimated_rows(df) is None
+
+
+def test_knn_per_row_k_brute(spark):
+    """Per-row k on the brute surface: each origin keeps ITS OWN cap of
+    nearest neighbors; rings refuses per-row k loudly; auto routes
+    per-row k to brute."""
+    import pandas as pd_
+    import pytest as pytest_
+
+    from geoengine.knn import knn_join, knn_join_rings
+
+    rng = np.random.default_rng(31)
+    o = pd_.DataFrame({
+        "id": [f"o{i}" for i in range(30)],
+        "latitude": rng.uniform(-50, 50, 30),
+        "longitude": rng.uniform(-150, 150, 30),
+        "k": (np.arange(30) % 4) + 1,
+    })
+    nb = pd_.DataFrame({
+        "id": [f"n{i}" for i in range(80)],
+        "latitude": rng.uniform(-50, 50, 80),
+        "longitude": rng.uniform(-150, 150, 80),
+    })
+    got = knn_join(
+        spark.createDataFrame(o), spark.createDataFrame(nb), "origin_k"
+    ).toPandas()
+    counts = got.groupby("origin_id").size()
+    caps = o.set_index("id")["k"]
+    assert (counts == caps[counts.index]).all()
+    # kept sets are rank-prefixes: max kept rank == count per origin
+    assert (got.groupby("origin_id")["knn_rank"].max() == counts).all()
+    with pytest_.raises(TypeError):
+        knn_join_rings(
+            spark.createDataFrame(o), spark.createDataFrame(nb), "origin_k"
+        )

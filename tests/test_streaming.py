@@ -89,6 +89,40 @@ def test_streaming_radius_equals_batch(spark, sf_dir):
     assert g == w and len(w) > 0
 
 
+def test_streaming_radius_per_row_equals_batch(spark, sf_dir):
+    """Full SearchInquery model on a live feed: streamed origins carry
+    per-row radii; availableNow replay == the batch per-row join."""
+    from pyspark.sql import functions as F_
+
+    from geoengine.datasets import customer_points, supplier_points
+    from geoengine.join import radius_join_pairs_per_row
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_radius_pairs_per_row,
+    )
+
+    origins = customer_points(spark, sf_dir).withColumn(
+        "radius", 100.0 + (F_.col("id") % 5) * 100.0
+    )
+    neighbors = supplier_points(spark, sf_dir)
+    stream, d = replay_parquet_stream(spark, origins, n_files=3)
+    got = run_stream_to_memory(
+        streaming_radius_pairs_per_row(stream, neighbors, 500.0).select(
+            "origin_id", "neighbor_id", F_.round("distance_km", 6).alias("d")
+        ),
+        "t_stream_radius_prr", "append", d,
+    ).toPandas()
+    want = (
+        radius_join_pairs_per_row(origins, neighbors, max_radius=500.0)
+        .select("origin_id", "neighbor_id", F_.round("distance_km", 6).alias("d"))
+        .toPandas()
+    )
+    g = set(map(tuple, got.itertuples(index=False)))
+    w = set(map(tuple, want.itertuples(index=False)))
+    assert g == w and len(w) > 0
+
+
 def test_streaming_exact_dedup_suppresses_cross_batch_dups(spark):
     # duplicates far apart in id space land in DIFFERENT micro-batches
     # (id-ordered range replay): state must suppress the later copy, and
