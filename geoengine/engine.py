@@ -93,8 +93,6 @@ def search_per_row(
     rows out, searchSpace rendered at each origin's own radius. Same plan
     family as :func:`search`; see ``radius_join_pairs_per_row`` for the
     resolution/scale notes."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from .join import radius_join_pairs_per_row
     from .topk import top_n_per_origin as _topk
 

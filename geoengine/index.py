@@ -262,6 +262,9 @@ def radius_join_pairs_bucketed(
         *[F.col(c).alias(origin_prefix + c) for c in origins.columns]
     )
     if per_row:
+        to_km(1.0, unit)  # validate eagerly: radius_as_km has no otherwise
+        # branch, so an unknown unit would NULL every radius and silently
+        # return zero pairs where the float branch raises ValueError
         r_km = exprs.radius_as_km(
             F.col(origin_prefix + radius).cast("double"), F.lit(unit)
         )

@@ -361,14 +361,17 @@ def radius_join_pairs_per_row(
     Output carries ``origin_<radius_col>`` through, so callers can chain
     per-row top-k (``top_n_per_origin(..., n="origin_max_results")``).
     """
-    if max_radius is None:
-        # bounded: a scalar max over one numeric column (extra pass; at
-        # 100 TB supply the application-known bound instead)
-        max_radius = origins.agg(F.max(radius_col)).first()[0]
+    to_km(1.0, unit)  # validate the unit eagerly (NULL radii otherwise)
+    if half_bits is not None:
+        hb = half_bits  # resolution given: skip the max-radius scan entirely
+    else:
         if max_radius is None:
-            max_radius = 1.0  # empty input: any resolution works
-    max_km = to_km(float(max_radius), unit)
-    hb = half_bits if half_bits is not None else pick_half_bits(max_km)
+            # bounded: a scalar max over one numeric column (extra pass; at
+            # 100 TB supply the application-known bound instead)
+            max_radius = origins.agg(F.max(radius_col)).first()[0]
+            if max_radius is None:
+                max_radius = 1.0  # empty input: any resolution works
+        hb = pick_half_bits(to_km(float(max_radius), unit))
     return _radius_join_core(
         origins, neighbors,
         lambda: exprs.radius_as_km(

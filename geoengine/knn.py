@@ -348,9 +348,21 @@ def knn_join(
     broadcast_threshold_bytes: int | None = None,
     **kw,
 ) -> DataFrame:
-    if strategy == "brute" or not isinstance(k, int):
+    per_row_k = isinstance(k, (str, Column))
+    if per_row_k:
         # per-row k (column name/Column) runs on the brute surface only —
-        # the ring loop's certification arithmetic assumes one global k
+        # the ring loop's certification arithmetic assumes one global k.
+        # An EXPLICIT rings request with per-row k fails loudly rather
+        # than silently broadcasting the (possibly huge) neighbor side.
+        if strategy == "rings":
+            raise TypeError(
+                "strategy='rings' cannot honor a per-row k column; use "
+                "strategy='brute'/'auto', or rings at max(k) then filter "
+                "knn_rank <= the per-row cap"
+            )
+        return knn_join_brute(origins, neighbors, k)
+    k = int(k)  # accept numpy integer scalars from pandas pipelines
+    if strategy == "brute":
         return knn_join_brute(origins, neighbors, k)
     if strategy == "rings":
         return knn_join_rings(origins, neighbors, k, **kw)

@@ -494,8 +494,17 @@ def hash_near_dup_pairs(
     per (block index, block value), exact popcount filter. Never an
     all-pairs plan: candidates come from the block equi-join.
 
-    Output: (id1, id2, hamming), id1 < id2, each pair once."""
-    d = df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64"))
+    Output: (id1, id2, hamming), id1 < id2, each pair once.
+
+    The (id, hash) projection is CACHED before the self-join: the two join
+    branches would otherwise each re-execute the (possibly expensive)
+    signature stage — a pandas-UDF simhash or a decode+DCT phash — since a
+    broadcast build side is not exchange-reused. Same protection (and
+    cache-block trade) as minhash_near_dup_pairs' signature cache; the
+    cached slice is two compact columns."""
+    d = df.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64")
+    ).cache()
     blocked = d.select(
         "doc",
         "_h64",
