@@ -1,0 +1,198 @@
+"""Near-dup cluster resolution: pairs -> connected components -> keeper.
+
+Every near-dup surface in the engine (minhash/simhash/ngram text pairs,
+embedding-cosine pairs, image-phash pairs) emits *pairs* (doc1, doc2, score).
+A real training-data dedup run needs the next step: transitive closure of
+the pair graph into clusters and ONE deterministic canonical keeper per
+cluster — "which rows do I delete?". This module is that step, engine
+extension (the reference repo has no counterpart; its pipeline stops at
+per-origin neighbor lists).
+
+Algorithm: alternating large-star / small-star min-label propagation
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+Components in MapReduce and Beyond", ACM SoCC 2014). Each round is two
+self-contained DataFrame stages — a groupBy-min and an equi-join per star
+op — so there is NO driver-side graph, no cartesian product, and the edge
+set shrinks toward a star per component in O(log^2 n) rounds worst case
+(2-5 rounds on real dedup graphs, whose components are shallow). Compare
+plain min-label flooding, which needs diameter rounds — a 1M-long chain
+would take 1M shuffles; star contraction takes ~20.
+
+Scale posture (100 TB): every stage shuffles on a single int64 node id;
+per-round lineage is truncated with localCheckpoint (swap for a reliable
+``checkpoint`` dir on a real cluster — the call site is one line); the
+convergence probe is one tiny agg (count + order-independent xxhash64
+bit_xor fold) per round, so rounds cost two shuffles + one scalar action.
+Component skew (one giant dup cluster) is bounded by the star invariant:
+large-star keeps every node's degree-to-larger-nodes, small-star touches
+only edges to smaller nodes, and the final state is a star whose hub is
+the component MIN — the hot key holds |C| rows exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u < v), self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the min."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+    )
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(count, xor-fold) set fingerprint in ONE scalar action. bit_xor of
+    xxhash64(u,v) is order- and partitioning-independent and overflow-free
+    (ANSI-safe, unlike an integer sum); inputs are distinct so xor
+    cancellation of duplicate rows cannot occur."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("sig"),
+    ).first()
+    return (row["n"], row["sig"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "doc1",
+    id2: str = "doc2",
+    max_iter: int = 30,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id is the MINIMUM node id of the node's connected component —
+    the deterministic canonical label.
+
+    ``pairs`` is any near-dup pair output (doc1, doc2[, score]); extra
+    columns are ignored. Ids must be orderable join keys (int64 in every
+    engine surface). Converges when the alternated star ops reach a
+    fixpoint (edge set is then exactly one star per component, hub = min);
+    a graph that somehow fails to converge within ``max_iter`` rounds
+    raises loudly rather than returning partial components.
+
+    The returned DataFrame reads the final round's localCheckpoint blocks
+    (intermediate rounds are unpersisted as they are superseded). Pass
+    ``cache_registry`` (a list; same contract as knn_join_rings) to
+    collect that final DataFrame for unpersisting once results are
+    materialized — in a long-lived session without it, one small edge-set
+    block per call stays cached.
+    """
+    edges = _canon_edges(
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    ).localCheckpoint()
+    sig = _edge_signature(edges)
+    if sig[0] == 0:
+        edges.unpersist()
+        return edges.select(
+            F.col("u").alias("node"), F.col("v").alias("cluster_id")
+        ).limit(0)
+    for _ in range(max_iter):
+        edges2 = _canon_edges(
+            _small_star(_large_star(edges))
+        ).localCheckpoint()
+        sig2 = _edge_signature(edges2)
+        edges.unpersist()
+        edges, converged = edges2, sig2 == sig
+        sig = sig2
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds (pathological graph?)"
+        )
+    if cache_registry is not None:
+        cache_registry.append(edges)
+    # fixpoint edge set = one star per multi-node component, canonical
+    # (u=min, v=member); hubs label themselves
+    members = edges.select(
+        F.col("v").alias("node"), F.col("u").alias("cluster_id")
+    )
+    hubs = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return members.unionByName(hubs)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "doc1",
+    id2: str = "doc2",
+    keeper_order: list[Column] | None = None,
+    max_iter: int = 30,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The keep/drop decision: every doc row labeled with its near-dup
+    cluster and whether it is the cluster's canonical keeper.
+
+    Output: docs' columns + ``cluster_id`` (component MIN id; a doc in no
+    pair is its own singleton cluster) + ``is_keeper`` (exactly one true
+    per cluster). Default keeper rule = min id — deterministic and
+    join-free. ``keeper_order`` switches to best-first selection: a list
+    of ordering Columns over docs' columns (e.g. ``[F.col("quality")
+    .desc()]``) ranked within each cluster, id ascending as the final
+    tie-break, rank 1 keeps. That is one extra window shuffle on
+    cluster_id; partitions are balanced because cluster cardinality is
+    near-total (dups are a small fraction of a corpus) and the largest
+    cluster costs only its own rows.
+
+    Downstream: ``.where("is_keeper")`` is the deduplicated corpus;
+    ``.where(~F.col("is_keeper"))`` is the delete list.
+    """
+    cc = connected_components(pairs, id1=id1, id2=id2, max_iter=max_iter,
+                              cache_registry=cache_registry)
+    out = (
+        docs.join(cc, docs[id_col] == cc["node"], "left")
+        .drop("node")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    if keeper_order is None:
+        return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        *keeper_order, F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("_kr", F.row_number().over(w))
+        .withColumn("is_keeper", F.col("_kr") == 1)
+        .drop("_kr")
+    )

@@ -80,6 +80,7 @@ def search_per_row(
     neighbors: DataFrame,
     radius_col: str = "radius",
     unit: str = "km",
+    unit_col: str | None = None,
     max_results_col: str | None = "max_results",
     half_bits: int | None = None,
     max_radius: float | None = None,
@@ -88,24 +89,28 @@ def search_per_row(
     timing: bool = False,
 ) -> DataFrame:
     """The reference's FULL SearchInquery model end-to-end: each origin row
-    carries its own ``radius`` (in ``unit``) and optionally its own
-    ``maxResults`` cap (``DataStore.scala:29-41``) — nested SearchResult
-    rows out, searchSpace rendered at each origin's own radius. Same plan
+    carries its own ``radius``, optionally its own ``maxResults`` cap, and
+    — with ``unit_col`` — its own measurement unit ``ms``
+    (``DataStore.scala:29-41``; first-letter parse) — nested SearchResult
+    rows out, searchSpace rendered at each origin's own radius, distances
+    and the ``ms`` field reported in each origin's own unit. Same plan
     family as :func:`search`; see ``radius_join_pairs_per_row`` for the
-    resolution/scale notes."""
+    resolution/scale/NULL notes (with ``unit_col``, pass ``max_radius``
+    in KM)."""
     from .join import radius_join_pairs_per_row
     from .topk import top_n_per_origin as _topk
 
     o = coerce_points(origins)
     nb = coerce_points(neighbors)
     pairs = radius_join_pairs_per_row(
-        o, nb, radius_col=radius_col, unit=unit,
+        o, nb, radius_col=radius_col, unit=unit, unit_col=unit_col,
         half_bits=half_bits, max_radius=max_radius, strategy=strategy,
     )
     if max_results_col is not None:
         pairs = _topk(pairs, "origin_" + max_results_col)
     return assemble_search_results(
         pairs, unit=unit, radius="origin_" + radius_col,
+        unit_col=None if unit_col is None else "origin_" + unit_col,
         include_search_space=include_search_space, timing=timing,
     )
 

@@ -236,7 +236,7 @@ def _radius_join_core(
     neighbors: DataFrame,
     r_km_of,
     hb: int,
-    unit: str,
+    unit_of,
     strategy: str,
     origin_prefix: str,
     neighbor_prefix: str,
@@ -247,12 +247,12 @@ def _radius_join_core(
     radius -> single int64 equi-join -> codegen'd law-of-cosines ``<=``
     refinement against the same radius -> distance in the inquiry unit.
 
-    ``r_km_of(prefixed_origin_cols_visible) -> Column`` builds the
-    radius-in-km expression AFTER origin columns are prefixed, so it can be
-    a literal (uniform radius) or reference a per-row origin column. Using
-    one core keeps coverage math, boundary semantics (`<=`, strictly-
-    greater dropped, SparkDS.scala:87-90) and unit reporting from ever
-    diverging between the two surfaces.
+    ``r_km_of()`` / ``unit_of()`` build the radius-in-km and
+    reporting-unit expressions AFTER origin columns are prefixed, so each
+    can be a literal (uniform inquiry) or reference a per-row origin
+    column. Using one core keeps coverage math, boundary semantics (`<=`,
+    strictly-greater dropped, SparkDS.scala:87-90) and unit reporting from
+    ever diverging between the surfaces.
     """
     if validate:
         origins = validate_points(origins)
@@ -292,7 +292,7 @@ def _radius_join_core(
         .withColumn("distance_km", d_km)
         .where(F.col("distance_km") <= r_km)
         .withColumn(
-            "distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit))
+            "distance", exprs.km_as_unit(F.col("distance_km"), unit_of())
         )
         .drop("gkey")
     )
@@ -323,8 +323,9 @@ def radius_join_pairs(
     radius_km = to_km(float(radius), unit)
     hb = half_bits if half_bits is not None else pick_half_bits(radius_km)
     return _radius_join_core(
-        origins, neighbors, lambda: F.lit(radius_km), hb, unit,
-        strategy, origin_prefix, neighbor_prefix, validate,
+        origins, neighbors, lambda: F.lit(radius_km), hb,
+        lambda: F.lit(unit), strategy, origin_prefix, neighbor_prefix,
+        validate,
     )
 
 
@@ -333,6 +334,7 @@ def radius_join_pairs_per_row(
     neighbors: DataFrame,
     radius_col: str = "radius",
     unit: str = "km",
+    unit_col: str | None = None,
     half_bits: int | None = None,
     max_radius: float | None = None,
     strategy: str = "auto",
@@ -340,42 +342,83 @@ def radius_join_pairs_per_row(
     neighbor_prefix: str = "neighbor_",
     validate: bool = True,
 ) -> DataFrame:
-    """R4 full generality: each ORIGIN ROW carries its own radius.
+    """R4 full generality: each ORIGIN ROW carries its own radius — and,
+    with ``unit_col``, its own measurement unit.
 
-    The reference's ``SearchInquery`` model has per-row ``radius`` (and
-    ``maxResults``), ``DataStore.scala:29-41`` — its pipelines only ever set
-    one value per table, but a mixed-radius inquiry table is the natural
-    generalization. Same pipeline as :func:`radius_join_pairs` (shared
-    ``_radius_join_core``): the ONLY differences are (a) covering cells
-    are exploded at each row's own radius (small-radius rows produce fewer
-    probe cells — the fanout is row-proportional, not worst-case), and
-    (b) the exact-distance refinement compares against the row's radius
-    column.
+    The reference's ``SearchInquery`` model has per-row ``radius``,
+    ``maxResults`` AND ``ms`` (Measurement — first-letter parse,
+    ``DataStore.scala:29-41``); its pipelines only ever set one value per
+    table, but a mixed inquiry table is the natural generalization. Same
+    pipeline as :func:`radius_join_pairs` (shared ``_radius_join_core``):
+    the ONLY differences are (a) covering cells are exploded at each row's
+    own radius (small-radius rows produce fewer probe cells — the fanout
+    is row-proportional, not worst-case), (b) the exact-distance
+    refinement compares against the row's radius column, and (c) the
+    reported ``distance`` is in the row's own unit.
+
+    ``unit_col`` names an ORIGIN column holding each row's unit string,
+    parsed by the reference's first-letter rule ('k*' -> km, 'm*' ->
+    miles) as a Column expression; ``unit`` is then ignored.
+
+    NULL semantics (SQL propagation, no eager scan): an origin row with a
+    NULL ``radius_col`` — or, under ``unit_col``, a NULL/unrecognized unit
+    string — converts to a NULL km-radius, produces no covering cells
+    (``explode(sequence(NULL, NULL))`` emits nothing) and is silently
+    ABSENT from the output, exactly like a row whose coordinates fail
+    ``validate_points``. Filter ``radius_col`` upstream if such rows must
+    fail loudly instead. (With a uniform ``unit`` the string is validated
+    eagerly here, since it is a plan constant.)
 
     Grid resolution is one global choice sized to the LARGEST radius
-    (``max_radius`` in ``unit``; computed with one bounded scalar agg when
-    not supplied — pass it at scale to keep the plan single-pass). A
-    too-coarse cell for small radii only costs guard-cell candidates; the
-    distance refinement keeps semantics exact regardless.
+    (``max_radius`` in ``unit``, or in KM when ``unit_col`` is set;
+    computed with one bounded scalar agg when not supplied — pass it at
+    scale to keep the plan single-pass). A too-coarse cell for small radii
+    only costs guard-cell candidates; the distance refinement keeps
+    semantics exact regardless.
 
-    Output carries ``origin_<radius_col>`` through, so callers can chain
-    per-row top-k (``top_n_per_origin(..., n="origin_max_results")``).
+    Output carries ``origin_<radius_col>`` (and ``origin_<unit_col>``)
+    through, so callers can chain per-row top-k
+    (``top_n_per_origin(..., n="origin_max_results")``; a NULL per-row cap
+    likewise drops that origin's rows — NULL comparison semantics).
     """
-    to_km(1.0, unit)  # validate the unit eagerly (NULL radii otherwise)
+    if unit_col is None:
+        to_km(1.0, unit)  # validate the unit eagerly (NULL radii otherwise)
+        unit_of = lambda: F.lit(unit)  # noqa: E731
+    else:
+        unit_of = lambda: F.col(origin_prefix + unit_col)  # noqa: E731
     if half_bits is not None:
         hb = half_bits  # resolution given: skip the max-radius scan entirely
     else:
         if max_radius is None:
             # bounded: a scalar max over one numeric column (extra pass; at
             # 100 TB supply the application-known bound instead)
-            max_radius = origins.agg(F.max(radius_col)).first()[0]
-            if max_radius is None:
-                max_radius = 1.0  # empty input: any resolution works
-        hb = pick_half_bits(to_km(float(max_radius), unit))
+            if unit_col is None:
+                max_radius = origins.agg(F.max(radius_col)).first()[0]
+                max_km = to_km(float(max_radius), unit) if max_radius else 1.0
+            else:
+                max_km = origins.agg(
+                    F.max(
+                        exprs.radius_as_km(
+                            F.col(radius_col).cast("double"),
+                            F.col(unit_col),
+                        )
+                    )
+                ).first()[0] or 1.0
+        else:
+            # with unit_col the bound is unit-ambiguous per row: take it in km
+            max_km = (
+                float(max_radius) if unit_col is not None
+                else to_km(float(max_radius), unit)
+            )
+        hb = pick_half_bits(max_km)
     return _radius_join_core(
         origins, neighbors,
-        lambda: exprs.radius_as_km(
-            F.col(origin_prefix + radius_col).cast("double"), F.lit(unit)
+        lambda: (
+            exprs.radius_as_km(
+                F.col(origin_prefix + radius_col).cast("double"),
+                F.lit(unit) if unit_col is None
+                else F.col(origin_prefix + unit_col),
+            )
         ),
-        hb, unit, strategy, origin_prefix, neighbor_prefix, validate,
+        hb, unit_of, strategy, origin_prefix, neighbor_prefix, validate,
     )

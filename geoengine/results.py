@@ -33,13 +33,17 @@ def assemble_search_results(
     bits: int = 40,
     include_search_space: bool = True,
     timing: bool = False,
+    unit_col: str | None = None,
 ) -> DataFrame:
     """pairs (origin_*, neighbor_*, distance, distance_km) -> nested rows.
 
     ``radius`` is a float (uniform inquiry radius) or the NAME of a
     per-origin radius column on ``pairs`` (e.g. ``origin_radius_km`` from
     the per-row join) — the searchSpace prefix is then rendered at each
-    origin's own radius.
+    origin's own radius. ``unit_col`` names a per-origin unit column on
+    ``pairs`` (e.g. ``origin_unit`` from the per-row join with mixed
+    units): the ``ms`` field reports each row's own unit and the
+    searchSpace radius converts per row; ``unit`` is then ignored.
 
     ``timing=False`` (default) emits a deterministic 0.0 searchTimerSeconds
     — schema parity with the reference, pure-JVM plan (no Python stage);
@@ -55,11 +59,13 @@ def assemble_search_results(
             F.col("neighbor_longitude").alias("longitude"),
         ).alias("value"),
         F.col("distance").alias("euclideanDistance"),
-        F.lit(unit).alias("ms"),
+        (F.lit(unit) if unit_col is None else F.col(unit_col)).alias("ms"),
     )
     keys = ["origin_id", "origin_latitude", "origin_longitude"]
     if per_row_radius:
         keys.append(radius)  # functionally dependent on origin_id
+    if unit_col is not None and unit_col not in keys:
+        keys.append(unit_col)  # likewise per-origin
     grouped = (
         pairs.withColumn("_n", neigh)
         .groupBy(*keys)
@@ -82,13 +88,15 @@ def assemble_search_results(
         F.col("origin_latitude").alias("_lat"),
         F.col("origin_longitude").alias("_lon"),
         *([F.col(radius).alias("_rkm_src")] if per_row_radius else []),
+        *([F.col(unit_col).alias("_unit_src")] if unit_col is not None else []),
     )
     if include_search_space and radius is not None:
         from . import exprs
 
         render = udfs.make_search_space_string_udf(bits)
+        unit_expr = F.lit(unit) if unit_col is None else F.col("_unit_src")
         r_km = (
-            exprs.radius_as_km(F.col("_rkm_src").cast("double"), F.lit(unit))
+            exprs.radius_as_km(F.col("_rkm_src").cast("double"), unit_expr)
             if per_row_radius
             else F.lit(to_km(radius, unit))
         )
@@ -97,7 +105,7 @@ def assemble_search_results(
         )
     else:
         out = out.withColumn("searchSpace", F.lit(""))
-    out = out.drop("_lat", "_lon", "_rkm_src")
+    out = out.drop("_lat", "_lon", "_rkm_src", "_unit_src")
     if timing:
         from .metrics import with_batch_timing
 

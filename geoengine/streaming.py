@@ -354,11 +354,12 @@ def streaming_radius_pairs_per_row(
 ) -> DataFrame:
     """Per-row-radius variant of :func:`streaming_radius_pairs`: each
     streamed origin row carries its own radius (the reference's full
-    SearchInquery model on a live feed). ``max_radius`` is REQUIRED here —
-    the batch path's fallback (a scalar max() agg over the origins) is not
-    executable on an unbounded stream, so the application supplies the
-    bound that sizes the one global grid resolution. Otherwise the exact
-    batch plan, stateless per micro-batch."""
+    SearchInquery model on a live feed; pass ``unit_col=`` through ``kw``
+    for per-row units too — ``max_radius`` is then in KM). ``max_radius``
+    is REQUIRED here — the batch path's fallback (a scalar max() agg over
+    the origins) is not executable on an unbounded stream, so the
+    application supplies the bound that sizes the one global grid
+    resolution. Otherwise the exact batch plan, stateless per micro-batch."""
     from .join import radius_join_pairs_per_row
 
     return radius_join_pairs_per_row(

@@ -1,0 +1,136 @@
+"""Near-dup cluster resolution (clusters.py): large-star/small-star
+connected components vs a pure-Python union-find twin, keeper rules,
+bounded convergence, and plan shape (no cartesian)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoengine.clusters import connected_components, dedup_clusters
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component min: root found by min-merge above
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _cc_spark(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    out = connected_components(pairs)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain_and_cycle_and_self_loop(spark):
+    # chain 0-1-2-3-4, cycle 10-11-12-10, cross-link 4-10, self-loop 20-20,
+    # duplicate + reversed edges, isolated pair 30-31
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (12, 10),
+        (4, 10), (10, 4), (1, 0),
+        (20, 20),
+        (30, 31),
+    ]
+    got = _cc_spark(spark, edges)
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 0, 11: 0, 12: 0,
+        30: 30, 31: 30,
+    }  # self-loop-only node 20 has no real edge -> absent from pair graph
+
+
+@pytest.mark.parametrize("seed", [7, 97])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc_spark(spark, edges)
+    want_all = _union_find(n, edges)
+    in_graph = {a for e in edges for a in e}
+    want = {x: want_all[x] for x in in_graph}
+    assert got == want
+
+
+def test_long_chain_converges_in_logarithmic_rounds(spark):
+    # a 64-node chain has diameter 63: plain flooding would need 63 rounds;
+    # star contraction must finish within max_iter=10 (O(log n))
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    out = connected_components(pairs, max_iter=10)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_keeper_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(8)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 7), (2, 4)], "doc1 long, doc2 long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, True), 3: (3, True), 6: (6, True),   # singletons keep
+        1: (1, True), 5: (1, False), 7: (1, False),  # min-id keeper
+        2: (2, True), 4: (2, False),
+    }
+    # best-quality keeper: quality = id % 3 -> in cluster {1,5,7} doc 5 has
+    # quality 2.0 (max); in {2,4} doc 2 wins (2.0 > 1.0)
+    out2 = {
+        r["doc_id"]: r["is_keeper"]
+        for r in dedup_clusters(
+            docs, pairs, keeper_order=[F.col("quality").desc()]
+        ).collect()
+    }
+    keepers = {k for k, v in out2.items() if v}
+    assert keepers == {0, 3, 6, 5, 2}
+
+
+def test_exactly_one_keeper_per_cluster(spark):
+    rng = random.Random(11)
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    out = dedup_clusters(docs, pairs)
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_keeper").cast("int")).alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_cluster)
+    assert out.count() == 100
+
+
+def test_no_cartesian_and_cache_released(spark):
+    edges = [(i, i + 1) for i in range(20)]
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    reg = []
+    out = connected_components(pairs, cache_registry=reg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.collect()
+    assert len(reg) == 1
+    for df in reg:
+        df.unpersist()

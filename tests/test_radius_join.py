@@ -245,3 +245,59 @@ def test_per_row_radius_miles_unit(spark):
     mi = got.set_index("origin_id")["distance"]
     km = got.set_index("origin_id")["distance_km"]
     assert np.allclose(mi, km * geodesy.KM_TO_MI)
+
+
+def test_per_row_unit_column_mixed(spark):
+    """Per-row UNIT column (the last SearchInquery field): one inquiry in
+    miles, one in km, same numeric radius — conversion, refinement and
+    distance reporting all per row; NULL/unknown units drop the origin
+    silently (documented NULL propagation)."""
+    from geoengine.join import radius_join_pairs_per_row
+
+    o = pd.DataFrame(
+        {"id": ["mi", "km", "bad", "nul"],
+         "latitude": [0.0, 0.0, 0.0, 0.0],
+         "longitude": [0.0, 0.0, 0.0, 0.0],
+         "radius": [100.0, 100.0, 100.0, None],
+         "unit": ["miles", "km", "furlongs", "km"]}
+    )
+    # x at ~111.19 km = 69.1 mi: inside 100 mi, OUTSIDE 100 km
+    nb = pd.DataFrame(
+        {"id": ["x"], "latitude": [0.0], "longitude": [1.0]}
+    )
+    got = radius_join_pairs_per_row(
+        spark.createDataFrame(o), spark.createDataFrame(nb),
+        radius_col="radius", unit_col="unit", max_radius=200.0,
+    ).toPandas()
+    assert set(zip(got["origin_id"], got["neighbor_id"])) == {("mi", "x")}
+    row = got.iloc[0]
+    assert row["origin_unit"] == "miles"
+    assert np.isclose(row["distance"], row["distance_km"] * geodesy.KM_TO_MI)
+
+
+def test_search_per_row_unit_col_nested(spark):
+    """Facade: per-row unit flows into the nested ms field and searchSpace."""
+    from geoengine.engine import search_per_row
+
+    o = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2], "latitude": [0.0, 0.0], "longitude": [0.0, 5.0],
+             "radius": [100.0, 100.0], "max_results": [5, 5],
+             "unit": ["miles", "km"]}
+        )
+    )
+    nb = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [10, 20], "latitude": [0.0, 0.0],
+             "longitude": [1.0, 5.5]}
+        )
+    )
+    res = search_per_row(o, nb, radius_col="radius", unit_col="unit",
+                         max_radius=200.0).collect()
+    by_id = {str(r["origin"]["id"]): r for r in res}
+    assert set(by_id) == {"1", "2"}
+    assert by_id["1"]["neighbors"][0]["ms"] == "miles"
+    assert by_id["2"]["neighbors"][0]["ms"] == "km"
+    # searchSpace is rendered at each origin's own km radius: 100 mi vs
+    # 100 km give different prefixes at the same origin geometry offset
+    assert set(by_id["1"]["searchSpace"]) <= {"0", "1"}
