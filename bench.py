@@ -64,9 +64,36 @@ def lineitem_points(spark, sf_dir, parallelism: int):
     )
 
 
+def loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # non-Linux
+        return -1.0
+
+
+def wait_for_idle() -> dict:
+    """Bounded spin-wait for an idle host before rep 1 (this VM has
+    intermittent EXTERNAL cpu steal — numbers captured under it read as
+    regressions). Gate: 1-min loadavg < 1.5 (the CLAUDE.md comparison
+    rule), waiting up to 120 s (SPARK_GRAFT_BENCH_IDLE_WAIT_S; 0 disables).
+    The outcome is recorded in the artifact either way, so a headline
+    captured after a gate timeout is self-flagging."""
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "120"))
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
+    t0 = time.time()
+    while loadavg() >= thresh and time.time() - t0 < limit:
+        time.sleep(5.0)
+    waited = round(time.time() - t0, 1)
+    met = loadavg() < thresh
+    return {"threshold": thresh, "waited_s": waited, "met": met,
+            "idle_gate_timeout": not met}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    idle_gate = wait_for_idle()  # before the JVM starts inflating loadavg
     spark = get_spark("geoengine-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,13 +101,6 @@ def main() -> None:
     secs: dict[str, float] = {}
     secs_median: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
-
-    def loadavg() -> float:
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except OSError:  # non-Linux
-            return -1.0
 
     load_start = loadavg()
 
@@ -291,6 +311,7 @@ def main() -> None:
                 "rep_times": rep_times,
                 "reps": reps,
                 "loadavg": {"start": load_start, "end": loadavg()},
+                "idle_gate": idle_gate,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "rows": rows,

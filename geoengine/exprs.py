@@ -25,8 +25,16 @@ def _d(x: float) -> str:
     exponent-free repr gets an ``e0`` suffix; tiny/huge values whose repr
     already carries an exponent (``3e-05``) are valid double literals as-is
     (suffixing those would produce invalid SQL like ``3e-05e0``). The ONE
-    float->DuckDB-literal formatter — every oracle must use it."""
-    r = repr(float(x))
+    float->DuckDB-literal formatter — every oracle must use it.
+
+    Non-finite inputs raise here: repr(inf)/repr(nan) have no exponent, so
+    the suffix rule would emit ``infe0``/``nane0`` — a DuckDB parse error
+    far from the bad constant's source. No engine expression legitimately
+    embeds a non-finite literal."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite value has no SQL double literal: {x!r}")
+    r = repr(v)
     return r if ("e" in r or "E" in r) else f"{r}e0"
 
 

@@ -360,6 +360,39 @@ def knn_join(
                 "strategy='brute'/'auto', or rings at max(k) then filter "
                 "knn_rank <= the per-row cap"
             )
+        # brute F.broadcast()s the whole neighbor side: size-gate it with
+        # the same plan stats the auto path uses, so a huge neighbor table
+        # raises HERE (with the rings-at-max-k recipe) instead of OOMing
+        # an executor. strategy='brute' is the explicit override.
+        if strategy != "brute":
+            if broadcast_threshold_bytes is None:
+                broadcast_threshold_bytes = _session_broadcast_bytes(neighbors)
+            rows, size = _plan_stats(neighbors)
+            if size is not None and size >= _STATS_UNKNOWN_BYTES:
+                size = None
+            too_big = (
+                (rows is not None and rows > broadcast_threshold_rows)
+                or (rows is None and size is not None
+                    and size > broadcast_threshold_bytes)
+            )
+            if too_big:
+                raise ValueError(
+                    "per-row k routes to knn_join_brute, which broadcasts "
+                    f"the neighbor side (~{rows or size} "
+                    f"{'rows' if rows is not None else 'bytes'} — past the "
+                    "broadcast gate). Run knn_join(..., k=max_k, "
+                    "strategy='rings') then filter knn_rank <= the per-row "
+                    "cap, or pass strategy='brute' to force the broadcast."
+                )
+            if rows is None and size is None:
+                import warnings
+
+                warnings.warn(
+                    "per-row k with a stat-less neighbor source: cannot "
+                    "size-gate the brute broadcast; verify the neighbor "
+                    "side is broadcast-small or use rings at max(k)",
+                    stacklevel=2,
+                )
         return knn_join_brute(origins, neighbors, k)
     k = int(k)  # accept numpy integer scalars from pandas pipelines
     if strategy == "brute":

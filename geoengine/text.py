@@ -485,6 +485,7 @@ def hash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     block_bits: int = 16,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Generic 64-bit-hash near-dup via block pigeonhole — works on ANY
     int64 signature column (simhash of text, phash of images, ...). Split
@@ -501,10 +502,15 @@ def hash_near_dup_pairs(
     signature stage — a pandas-UDF simhash or a decode+DCT phash — since a
     broadcast build side is not exchange-reused. Same protection (and
     cache-block trade) as minhash_near_dup_pairs' signature cache; the
-    cached slice is two compact columns."""
+    cached slice is two compact columns. Pass ``cache_registry`` (a list;
+    same contract as knn_join_rings) to collect the cached slice for
+    unpersisting once the pairs are materialized — in a long-lived session
+    without it, one small block per call stays in storage memory."""
     d = df.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64")
     ).cache()
+    if cache_registry is not None:
+        cache_registry.append(d)
     blocked = d.select(
         "doc",
         "_h64",
@@ -560,9 +566,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     group_col: str = "source",
     threshold: float = 0.3,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard within candidate groups (blocked self-join) —
-    the exact-verification stage after an LSH prefilter."""
+    the exact-verification stage after an LSH prefilter.
+
+    SCALE WARNING: this is QUADRATIC within each ``group_col`` group (the
+    self-join emits |g|^2/2 candidate rows per group). That is the point
+    when the groups are LSH buckets or otherwise pre-blocked candidates —
+    but calling it directly on a raw corpus column with a hot group (one
+    crawler domain with 10^7 docs) materializes ~10^14 pairs. At corpus
+    scale use :func:`lsh_verified_jaccard_pairs`, which generates
+    candidates by MinHash banding / SimHash blocks first and runs this
+    exact test only on collisions. ``max_group_rows`` makes the footgun
+    loud: when set, one cheap groupBy-count pass raises if any group
+    exceeds it (pay a small extra scan to refuse a runaway join)."""
+    if max_group_rows is not None:
+        hot = (
+            docs.groupBy(F.col(group_col))
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_group_rows)
+            .orderBy(F.col("_n").desc())
+            .limit(3)
+            .collect()
+        )
+        if hot:
+            worst = ", ".join(f"{r[0]!r}:{r['_n']}" for r in hot)
+            raise ValueError(
+                f"ngram_jaccard_pairs: group(s) over max_group_rows="
+                f"{max_group_rows} would go quadratic ({worst}); use "
+                "lsh_verified_jaccard_pairs for un-blocked corpora"
+            )
     d = docs.select(
         F.col(id_col).alias("doc"),
         F.col(group_col).alias("grp"),

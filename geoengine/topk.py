@@ -29,7 +29,14 @@ def top_n_per_origin(
     the per-ORIGIN-row cap — the reference's per-inquiry ``maxResults``
     (``DataStore.scala:29-41``, R4/R13 full generality). The plan is the
     same single window either way; a per-row cap just makes the rank
-    comparison a column-column one."""
+    comparison a column-column one.
+
+    NULL semantics with a per-row cap: ``rank <= NULL`` is never true, so
+    an origin whose cap column is NULL keeps ZERO rows — silently, by SQL
+    comparison semantics (consistent with the per-row join's NULL-radius
+    behavior; see radius_join_pairs_per_row). Coalesce the cap upstream
+    (``F.coalesce(cap, F.lit(default))``) if NULL should mean "uncapped"
+    or a default."""
     cap = F.col(n) if isinstance(n, str) else (
         n if isinstance(n, Column) else F.lit(int(n))
     )

@@ -206,3 +206,26 @@ def test_knn_per_row_k_brute(spark):
         knn_join_rings(
             spark.createDataFrame(o), spark.createDataFrame(nb), "origin_k"
         )
+
+
+def test_per_row_k_broadcast_gate(spark):
+    """Per-row k routes to brute (broadcasts neighbors): a neighbor side
+    past the broadcast gate must raise with the rings recipe, and
+    strategy='brute' must stay available as the explicit override."""
+    import pytest
+    from geoengine.knn import knn_join
+
+    o = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "latitude": [0.0], "longitude": [0.0],
+                      "k": [2]})
+    )
+    nb = spark.createDataFrame(
+        pd.DataFrame({"id": range(50), "latitude": [0.0] * 50,
+                      "longitude": [float(i) / 10 for i in range(50)]})
+    )
+    with pytest.raises(ValueError, match="rings"):
+        knn_join(o, nb, "origin_k", broadcast_threshold_rows=10)
+    got = knn_join(o, nb, "origin_k", strategy="brute").collect()
+    assert len(got) == 2
+    # small neighbor side passes the gate on the auto path
+    assert len(knn_join(o, nb, "origin_k", broadcast_threshold_rows=1000).collect()) == 2

@@ -282,3 +282,27 @@ def test_lsh_recall_reasonable(spark):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_auto_n_centroids_two_sizes(spark):
+    """sqrt(n) sizing from plan stats on file-backed corpora (the intended
+    use): both fixture sizes land within 2x of sqrt(n); a tiny corpus
+    clamps to the 16 floor; 'auto' flows through build_ivf_index."""
+    from geoengine.similarity import auto_n_centroids, build_ivf_index
+
+    small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_s, n_b = small.count(), big.count()  # 500 / 2000
+    a_s, a_b = auto_n_centroids(small), auto_n_centroids(big)
+    for a, n in ((a_s, n_s), (a_b, n_b)):
+        assert n ** 0.5 / 2 <= a <= n ** 0.5 * 2
+    assert a_b > a_s  # monotone in corpus size
+    # size-less in-memory source clamps to the floor (conservative:
+    # too few cells means more exact work, never wrong results)
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assert auto_n_centroids(tiny) == 16
+    cent, _ = build_ivf_index(tiny, n_centroids="auto", refine_iters=0)
+    assert cent.shape[0] == 16

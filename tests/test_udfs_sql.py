@@ -29,3 +29,12 @@ def test_cell_udfs_golden(spark):
         "SELECT cellString(cellEncode(34.932603, -117.907324)) AS s"
     ).collect()[0]
     assert r["s"] == "0100110110100001010011000111111011001001"  # GeoSearch.scala:72
+
+def test_sql_double_rejects_non_finite():
+    import pytest
+    from geoengine.exprs import sql_double
+
+    assert sql_double(0.5) == "0.5e0"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            sql_double(bad)
