@@ -47,7 +47,12 @@ def _canon_edges(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    Output is NOT canonicalized/deduped — small-star reorients per row and
+    aggregates with groupBy-min, so duplicates only pad its input; one
+    round therefore needs just ONE distinct (after small-star) instead of
+    two, saving a full shuffle per round."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -123,6 +128,7 @@ def connected_components(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
         ).limit(0)
     for _ in range(max_iter):
+        # large-star output flows RAW into small-star (one canon per round)
         edges2 = _canon_edges(
             _small_star(_large_star(edges))
         ).localCheckpoint()
