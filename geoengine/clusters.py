@@ -124,9 +124,13 @@ def connected_components(
     sig = _edge_signature(edges)
     if sig[0] == 0:
         edges.unpersist()
-        return edges.select(
+        # explicit empty frame: deriving from the now-unpersisted
+        # checkpoint would only work by CollectLimit short-circuit
+        spark = pairs.sparkSession
+        schema = edges.select(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
-        ).limit(0)
+        ).schema
+        return spark.createDataFrame([], schema)
     for _ in range(max_iter):
         # large-star output flows RAW into small-star (one canon per round)
         edges2 = _canon_edges(

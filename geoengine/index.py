@@ -230,6 +230,7 @@ def radius_join_pairs_bucketed(
     index_table: str,
     radius,
     unit: str = "km",
+    unit_col: str | None = None,
     half_bits: int | None = None,
     origin_prefix: str = "origin_",
 ) -> DataFrame:
@@ -244,8 +245,14 @@ def radius_join_pairs_bucketed(
     on ``origins`` (R4 full generality on the scale path too): the index
     resolution is fixed at build time either way — per-row radii only vary
     how many covering cells each origin probes, so mixed-radius inquiry
-    tables run against the same prebuilt index with no rebuild."""
+    tables run against the same prebuilt index with no rebuild.
+    ``unit_col`` (requires per-row ``radius``) names an origin column
+    holding each row's unit (first-letter parse; same NULL/unknown-drop
+    semantics as radius_join_pairs_per_row); ``unit`` is then ignored and
+    the reported ``distance`` is in each row's own unit."""
     per_row = isinstance(radius, str)
+    if unit_col is not None and not per_row:
+        raise ValueError("unit_col requires a per-row radius column name")
     built_hb = bucketed_index_half_bits(spark, index_table)
     if half_bits is not None and built_hb is not None and half_bits != built_hb:
         raise ValueError(
@@ -262,13 +269,18 @@ def radius_join_pairs_bucketed(
         *[F.col(c).alias(origin_prefix + c) for c in origins.columns]
     )
     if per_row:
-        to_km(1.0, unit)  # validate eagerly: radius_as_km has no otherwise
-        # branch, so an unknown unit would NULL every radius and silently
-        # return zero pairs where the float branch raises ValueError
+        if unit_col is None:
+            to_km(1.0, unit)  # validate eagerly: radius_as_km has no
+            # otherwise branch, so an unknown unit would NULL every radius
+            # and silently return zero pairs where the float branch raises
+            unit_expr = F.lit(unit)
+        else:
+            unit_expr = F.col(origin_prefix + unit_col)
         r_km = exprs.radius_as_km(
-            F.col(origin_prefix + radius).cast("double"), F.lit(unit)
+            F.col(origin_prefix + radius).cast("double"), unit_expr
         )
     else:
+        unit_expr = F.lit(unit)
         r_km = F.lit(to_km(float(radius), unit))
     probe = explode_covering_cells(
         o, r_km, hb,
@@ -285,6 +297,6 @@ def radius_join_pairs_bucketed(
         probe.join(build, "gkey")
         .withColumn("distance_km", d_km)
         .where(F.col("distance_km") <= r_km)
-        .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), F.lit(unit)))
+        .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), unit_expr))
         .drop("gkey")
     )

@@ -143,17 +143,19 @@ def run_stream_until_idle(out: DataFrame, name: str, output_mode: str,
         lp = q.lastProgress or {}
         if lp.get("numInputRows"):
             last_data = time.time()
+        # a data-bearing micro-batch can run longer than idle_s while
+        # lastProgress still shows the previous zero-input batch — stopping
+        # then would return a silently partial table. status.isDataAvailable
+        # stays TRUE from the moment source offsets pass committed offsets
+        # until the batch that consumes them COMMITS, so it covers exactly
+        # that window; it reads FALSE during a drained TTL replay's endless
+        # empty batches (those fire for possible timeouts, not data), so —
+        # unlike gating on isTriggerActive, which those batches hold true
+        # almost continuously — it cannot livelock the idle stop.
         st = q.status or {}
-        busy = st.get("isDataAvailable") or st.get("isTriggerActive")
-        if busy:
-            # a data-bearing micro-batch can run longer than idle_s while
-            # lastProgress still shows the previous zero-input batch —
-            # stopping then would return a silently partial table. Defer
-            # the idle stop while the engine reports work in flight; TTL
-            # replays' empty trigger batches are millisecond-fast, so this
-            # only delays the break by a poll, never livelocks it.
-            last_data = max(last_data, time.time() - idle_s / 2)
-        if lp and not busy and time.time() - last_data > idle_s:
+        if st.get("isDataAvailable"):
+            last_data = time.time()
+        if lp and time.time() - last_data > idle_s:
             break  # drained: several consecutive zero-input batches
         if time.time() - t0 > timeout_s:
             q.stop()

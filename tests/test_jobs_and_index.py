@@ -224,3 +224,57 @@ def test_bucketed_index_per_row_radius(spark):
         assert g == w and len(w) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_prr")
+
+
+def test_bucketed_index_per_row_unit(spark):
+    """Per-row radius AND unit on the bucketed scale path: same prebuilt
+    index, mixed miles/km inquiries — answer and reported distance match
+    the plain per-row join with unit_col."""
+    import numpy as np
+    import pandas as pd
+
+    from geoengine.geodesy import MI_TO_KM
+    from geoengine.index import (
+        radius_join_pairs_bucketed,
+        write_bucketed_neighbor_index,
+    )
+    from geoengine.join import pick_half_bits, radius_join_pairs_per_row
+
+    rng = np.random.default_rng(23)
+    n = 120
+    origins = spark.createDataFrame(pd.DataFrame({
+        "id": [f"o{i}" for i in range(n)],
+        "latitude": rng.uniform(-60, 60, n),
+        "longitude": rng.uniform(-170, 170, n),
+        "radius": (50.0 + (np.arange(n) % 6) * 90.0),
+        "unit": ["miles" if i % 2 == 0 else "km" for i in range(n)],
+    }))
+    neighbors = spark.createDataFrame(pd.DataFrame({
+        "id": [f"n{i}" for i in range(250)],
+        "latitude": rng.uniform(-60, 60, 250),
+        "longitude": rng.uniform(-170, 170, 250),
+    }))
+    hb = pick_half_bits(500.0 * MI_TO_KM)
+    write_bucketed_neighbor_index(neighbors, "t_bucketed_pru", hb, n_buckets=8)
+    try:
+        got = radius_join_pairs_bucketed(
+            spark, origins, "t_bucketed_pru", "radius", unit_col="unit",
+            half_bits=hb,
+        )
+        want = radius_join_pairs_per_row(
+            origins, neighbors, radius_col="radius", unit_col="unit",
+            half_bits=hb,
+        )
+        cols = ["origin_id", "neighbor_id", "distance"]
+        g = {(a, b, round(d, 9)) for a, b, d in got.select(*cols).collect()}
+        w = {(a, b, round(d, 9)) for a, b, d in want.select(*cols).collect()}
+        assert g == w and len(w) > 0
+        # uniform-radius call with unit_col must refuse
+        import pytest
+        with pytest.raises(ValueError, match="per-row"):
+            radius_join_pairs_bucketed(
+                spark, origins, "t_bucketed_pru", 100.0, unit_col="unit",
+                half_bits=hb,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_pru")

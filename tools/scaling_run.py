@@ -43,6 +43,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_HEAVY"] = "1"  # workload >> fixed job overhead
     env["SPARK_GRAFT_BENCH_REPS"] = "3"  # min-of-3 headline (noisy shared VM)
+    # the per-run idle gate would stall every leg ~120 s: after a leg exits,
+    # 1-min loadavg decays slowly from its OWN finished JVM (an average
+    # artifact, not real contention). This runner's steal robustness is the
+    # interleaved-rounds min estimator, so disable the gate per leg.
+    env["SPARK_GRAFT_BENCH_IDLE_WAIT_S"] = "0"
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
