@@ -206,3 +206,34 @@ def dedup_clusters(
         .withColumn("is_keeper", F.col("_kr") == 1)
         .drop("_kr")
     )
+
+
+def dedup_documents(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    prefilter: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    keeper_order: list[Column] | None = None,
+    max_iter: int = 30,
+    cache_registry: list[DataFrame] | None = None,
+    **lsh_kw,
+) -> DataFrame:
+    """One-call corpus dedup — the full pipeline a training run needs:
+    LSH candidates -> exact word-Jaccard verify
+    (text.lsh_verified_jaccard_pairs, never all-pairs) -> connected
+    components -> keeper decision. Returns docs + (cluster_id, is_keeper);
+    ``.where("is_keeper")`` is the deduplicated corpus. Every stage is the
+    corresponding certified operator, just wired together; ``lsh_kw``
+    forwards banding/block tuning (num_hashes/bands/block_bits/items)."""
+    from .text import lsh_verified_jaccard_pairs
+
+    pairs = lsh_verified_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        group_col=group_col, prefilter=prefilter, **lsh_kw,
+    )
+    return dedup_clusters(
+        docs, pairs, id_col=id_col, keeper_order=keeper_order,
+        max_iter=max_iter, cache_registry=cache_registry,
+    )

@@ -134,3 +134,27 @@ def test_no_cartesian_and_cache_released(spark):
     assert len(reg) == 1
     for df in reg:
         df.unpersist()
+
+
+def test_dedup_documents_end_to_end(spark):
+    """One-call dedup: after keeping only keepers, NO two surviving docs
+    are near-dups at the threshold (the defining property of the
+    keep-set), and every dropped doc points at a surviving keeper's
+    cluster."""
+    from geoengine.clusters import dedup_documents
+    from geoengine.text import lsh_verified_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_documents(docs, threshold=0.8).cache()
+    keep = out.where("is_keeper")
+    n_all, n_keep = out.count(), keep.count()
+    assert n_all == docs.count() and 0 < n_keep < n_all
+    # keepers are pairwise non-near-dup at the threshold
+    survivors = keep.select("doc_id", "text")
+    left = lsh_verified_jaccard_pairs(survivors, threshold=0.8)
+    assert left.count() == 0
+    # dropped docs belong to a cluster whose keeper survives
+    dropped = out.where(~out["is_keeper"]).select("cluster_id").distinct()
+    keeper_clusters = keep.select("cluster_id").distinct()
+    assert dropped.exceptAll(keeper_clusters).count() == 0
+    out.unpersist()
