@@ -81,13 +81,19 @@ def wait_for_idle() -> dict:
     captured after a gate timeout is self-flagging."""
     limit = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "120"))
     thresh = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
+    if limit <= 0:
+        # gate explicitly off (scaling_run legs): distinct state, NOT a
+        # timeout — a timeout flag here would make every deliberate
+        # gate-off capture read as steal-suspect
+        return {"threshold": thresh, "waited_s": 0.0, "met": None,
+                "idle_gate_timeout": False, "disabled": True}
     t0 = time.time()
     while loadavg() >= thresh and time.time() - t0 < limit:
         time.sleep(5.0)
     waited = round(time.time() - t0, 1)
     met = loadavg() < thresh
     return {"threshold": thresh, "waited_s": waited, "met": met,
-            "idle_gate_timeout": not met}
+            "idle_gate_timeout": not met, "disabled": False}
 
 
 def main() -> None:

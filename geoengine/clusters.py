@@ -35,6 +35,58 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of currently-persisted RDDs (includes localCheckpoint blocks,
+    which Dataset.unpersist() does NOT release — verified: after
+    df.localCheckpoint(); df.unpersist(True) the block stays in
+    getRDDStorageInfo until GC + ContextCleaner reach the dereferenced
+    LogicalRDD). This and :class:`_CheckpointHandle` are the engine's
+    second documented private-API seam (next to knn._plan_stats): py4j
+    into SparkContext.getPersistentRDDs. Any failure degrades to 'blocks
+    release on GC', never an error."""
+    try:
+        ids, it = set(), spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+    except Exception:  # pragma: no cover - py4j surface differences
+        return set()
+
+
+class _CheckpointHandle:
+    """Releasable reference to localCheckpoint storage blocks. Quacks like
+    a cached DataFrame for the cache_registry contract (``.unpersist()``),
+    but releases at the RDD level — the only mechanism that actually frees
+    checkpoint blocks before GC."""
+
+    def __init__(self, spark, rdd_ids: set):
+        self._spark = spark
+        self._ids = set(rdd_ids)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            jmap = self._spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = jmap.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in self._ids:
+                    kv._2().unpersist(bool(blocking))
+        except Exception:  # pragma: no cover - degrade to GC-time release
+            pass
+        self._ids.clear()
+
+
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, _CheckpointHandle]:
+    """Eager localCheckpoint + a handle to ITS new storage blocks (the
+    persistent-id delta around the call; the window is tight and the
+    engine's loop is single-threaded — a concurrent cache created in the
+    same instant would be swept, documented limitation of the seam)."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    return out, _CheckpointHandle(spark, _persistent_rdd_ids(spark) - before)
+
+
 def _canon_edges(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (u < v), self-loops dropped, distinct."""
     return (
@@ -111,35 +163,37 @@ def connected_components(
     a graph that somehow fails to converge within ``max_iter`` rounds
     raises loudly rather than returning partial components.
 
-    The returned DataFrame reads the final round's localCheckpoint blocks
-    (intermediate rounds are unpersisted as they are superseded). Pass
-    ``cache_registry`` (a list; same contract as knn_join_rings) to
-    collect that final DataFrame for unpersisting once results are
-    materialized — in a long-lived session without it, one small edge-set
-    block per call stays cached.
+    The returned DataFrame reads the final round's localCheckpoint blocks.
+    Superseded rounds' blocks are released eagerly at the RDD level
+    (plain ``Dataset.unpersist`` does NOT free checkpoint blocks — see
+    ``_persistent_rdd_ids``). Pass ``cache_registry`` (a list; same
+    ``.unpersist()`` calling convention as knn_join_rings) to collect a
+    releasable handle to the FINAL round's blocks once results are
+    materialized — without it, that one small edge-set block lives until
+    GC + ContextCleaner collect it.
     """
-    edges = _canon_edges(
-        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
-    ).localCheckpoint()
+    edges, handle = _tracked_checkpoint(
+        _canon_edges(pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v")))
+    )
     sig = _edge_signature(edges)
     if sig[0] == 0:
-        edges.unpersist()
-        # explicit empty frame: deriving from the now-unpersisted
-        # checkpoint would only work by CollectLimit short-circuit
+        # explicit empty frame: deriving from the released checkpoint
+        # would only work by CollectLimit short-circuit
         spark = pairs.sparkSession
         schema = edges.select(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
         ).schema
+        handle.unpersist()
         return spark.createDataFrame([], schema)
     for _ in range(max_iter):
         # large-star output flows RAW into small-star (one canon per round)
-        edges2 = _canon_edges(
-            _small_star(_large_star(edges))
-        ).localCheckpoint()
+        edges2, handle2 = _tracked_checkpoint(
+            _canon_edges(_small_star(_large_star(edges)))
+        )
         sig2 = _edge_signature(edges2)
-        edges.unpersist()
-        edges, converged = edges2, sig2 == sig
-        sig = sig2
+        handle.unpersist()  # superseded round's blocks, RDD-level release
+        edges, handle = edges2, handle2
+        converged, sig = sig2 == sig, sig2
         if converged:
             break
     else:
@@ -148,7 +202,7 @@ def connected_components(
             "large-star/small-star rounds (pathological graph?)"
         )
     if cache_registry is not None:
-        cache_registry.append(edges)
+        cache_registry.append(handle)
     # fixpoint edge set = one star per multi-node component, canonical
     # (u=min, v=member); hubs label themselves
     members = edges.select(
@@ -187,12 +241,22 @@ def dedup_clusters(
     Downstream: ``.where("is_keeper")`` is the deduplicated corpus;
     ``.where(~F.col("is_keeper"))`` is the delete list.
     """
+    for reserved in ("cluster_id", "is_keeper"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"dedup_clusters adds a {reserved!r} column but docs "
+                "already has one — rename or drop it first"
+            )
     cc = connected_components(pairs, id1=id1, id2=id2, max_iter=max_iter,
                               cache_registry=cache_registry)
+    # underscore-aliased join columns so a docs column named 'node' (or any
+    # cc-side name) can never be silently dropped or captured
+    cc = cc.select(F.col("node").alias("_cc_node"),
+                   F.col("cluster_id").alias("_cc_cluster"))
     out = (
-        docs.join(cc, docs[id_col] == cc["node"], "left")
-        .drop("node")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        docs.join(cc, docs[id_col] == cc["_cc_node"], "left")
+        .withColumn("cluster_id", F.coalesce("_cc_cluster", F.col(id_col)))
+        .drop("_cc_node", "_cc_cluster")
     )
     if keeper_order is None:
         return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))

@@ -311,6 +311,33 @@ def knn_join_rings_scoped(
 # default) — any "size" past this is a placeholder, not a measurement
 _STATS_UNKNOWN_BYTES = 1 << 48
 
+_BROADCAST_HARD_CAP = 64 << 20
+
+
+def _neighbor_broadcast_fit(
+    neighbors: DataFrame,
+    rows_threshold: int,
+    bytes_threshold: int,
+) -> tuple[bool | None, int | None, int | None]:
+    """The ONE stats/threshold decision both knn_join gates share:
+    (fits, rows, size) where fits is True (broadcast-small), False
+    (demonstrably big), or None (stats unknown). Callers resolve
+    ``bytes_threshold`` themselves — the two gates treat a
+    broadcasts-disabled session (conf -1/0 -> _session_broadcast_bytes 0)
+    differently by design: the auto router respects it and falls to rings
+    (0 here makes every known size 'not fit'), while the per-row-k gate
+    substitutes the 64 MiB hard cap (the conf forbids CATALYST's implicit
+    broadcasts, not the explicit F.broadcast hint brute uses — a 0 gate
+    would wrongly raise on a 2 KB table that worked before the gate
+    existed)."""
+    rows, size = _plan_stats(neighbors)
+    if size is not None and size >= _STATS_UNKNOWN_BYTES:
+        size = None  # defaultSizeInBytes placeholder, not a measurement
+    if rows is None and size is None:
+        return None, None, None
+    fits = rows <= rows_threshold if rows is not None else size <= bytes_threshold
+    return fits, rows, size
+
 
 def _session_broadcast_bytes(df: DataFrame, cap: int = 64 << 20) -> int:
     """Broadcast gate keyed off the session's own
@@ -361,30 +388,31 @@ def knn_join(
                 "knn_rank <= the per-row cap"
             )
         # brute F.broadcast()s the whole neighbor side: size-gate it with
-        # the same plan stats the auto path uses, so a huge neighbor table
-        # raises HERE (with the rings-at-max-k recipe) instead of OOMing
-        # an executor. strategy='brute' is the explicit override.
+        # the same plan-stats decision the auto path uses, so a huge
+        # neighbor table raises HERE (with the rings-at-max-k recipe)
+        # instead of OOMing an executor. strategy='brute' is the explicit
+        # override. A broadcasts-disabled session falls back to the hard
+        # cap (see _neighbor_broadcast_fit — rings is not an option here).
         if strategy != "brute":
-            if broadcast_threshold_bytes is None:
-                broadcast_threshold_bytes = _session_broadcast_bytes(neighbors)
-            rows, size = _plan_stats(neighbors)
-            if size is not None and size >= _STATS_UNKNOWN_BYTES:
-                size = None
-            too_big = (
-                (rows is not None and rows > broadcast_threshold_rows)
-                or (rows is None and size is not None
-                    and size > broadcast_threshold_bytes)
+            bt = (
+                broadcast_threshold_bytes
+                if broadcast_threshold_bytes is not None
+                else (_session_broadcast_bytes(neighbors)
+                      or _BROADCAST_HARD_CAP)
             )
-            if too_big:
+            fits, rows, size = _neighbor_broadcast_fit(
+                neighbors, broadcast_threshold_rows, bt
+            )
+            if fits is False:
                 raise ValueError(
                     "per-row k routes to knn_join_brute, which broadcasts "
-                    f"the neighbor side (~{rows or size} "
+                    f"the neighbor side (~{rows if rows is not None else size} "
                     f"{'rows' if rows is not None else 'bytes'} — past the "
                     "broadcast gate). Run knn_join(..., k=max_k, "
                     "strategy='rings') then filter knn_rank <= the per-row "
                     "cap, or pass strategy='brute' to force the broadcast."
                 )
-            if rows is None and size is None:
+            if fits is None:
                 import warnings
 
                 warnings.warn(
@@ -408,22 +436,17 @@ def knn_join(
     # in-memory broadcast from a "small" file.
     if broadcast_threshold_bytes is None:
         broadcast_threshold_bytes = _session_broadcast_bytes(neighbors)
-    rows, size = _plan_stats(neighbors)
-    if size is not None and size >= _STATS_UNKNOWN_BYTES:
-        size = None  # defaultSizeInBytes placeholder, not a measurement
-    if rows is None and size is None:
+    fits, rows, size = _neighbor_broadcast_fit(
+        neighbors, broadcast_threshold_rows, broadcast_threshold_bytes
+    )
+    if fits is None:
         # stat-less source (JDBC/RDD-backed leaf): no eager count HERE —
         # route conservatively to rings (broadcasting an unknown-size side
         # is the unsafe direction). Rings pays one count() of the neighbor
         # side to size half_bits — genuinely required; pass half_bits +
         # neighbor_count to make the whole path job-free at plan time.
         return knn_join_rings(origins, neighbors, k, **kw)
-    small = (
-        rows <= broadcast_threshold_rows
-        if rows is not None
-        else size <= broadcast_threshold_bytes
-    )
-    if small:
+    if fits:
         return knn_join_brute(origins, neighbors, k)
     # forward the estimate so rings doesn't redo the stats round-trip
     kw.setdefault(

@@ -95,11 +95,16 @@ def assemble_search_results(
 
         render = udfs.make_search_space_string_udf(bits)
         unit_expr = F.lit(unit) if unit_col is None else F.col("_unit_src")
-        r_km = (
-            exprs.radius_as_km(F.col("_rkm_src").cast("double"), unit_expr)
-            if per_row_radius
-            else F.lit(to_km(radius, unit))
-        )
+        if per_row_radius:
+            r_km = exprs.radius_as_km(F.col("_rkm_src").cast("double"),
+                                      unit_expr)
+        elif unit_col is not None:
+            # uniform radius + per-row units: the radius is in each row's
+            # OWN unit (`unit` really is ignored, as documented) — convert
+            # per row so searchSpace agrees with the ms field
+            r_km = exprs.radius_as_km(F.lit(float(radius)), unit_expr)
+        else:
+            r_km = F.lit(to_km(radius, unit))
         out = out.withColumn(
             "searchSpace", render(F.col("_lat"), F.col("_lon"), r_km)
         )

@@ -123,17 +123,44 @@ def test_exactly_one_keeper_per_cluster(spark):
     assert out.count() == 100
 
 
+def _n_persistent(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
 def test_no_cartesian_and_cache_released(spark):
     edges = [(i, i + 1) for i in range(20)]
     pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    before = _n_persistent(spark)
     reg = []
     out = connected_components(pairs, cache_registry=reg)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     out.collect()
     assert len(reg) == 1
-    for df in reg:
-        df.unpersist()
+    # intermediate rounds already released: at most the final round's
+    # checkpoint block remains beyond the pre-call baseline
+    assert _n_persistent(spark) <= before + 1
+    for h in reg:
+        h.unpersist()
+    # the handle ACTUALLY frees storage (plain Dataset.unpersist cannot
+    # release localCheckpoint blocks — the handle works at the RDD level)
+    assert _n_persistent(spark) <= before
+
+
+def test_dedup_clusters_docs_node_column_preserved(spark):
+    """A docs column named 'node' must survive, and pre-existing
+    cluster_id/is_keeper columns must be rejected loudly."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, node string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc1 long, doc2 long")
+    out = dedup_clusters(docs, pairs)
+    assert set(out.columns) == {"doc_id", "node", "cluster_id", "is_keeper"}
+    rows = {r["doc_id"]: (r["node"], r["cluster_id"]) for r in out.collect()}
+    assert rows == {1: ("a", 1), 2: ("b", 1), 3: ("c", 3)}
+    bad = docs.withColumn("cluster_id", F.lit(0))
+    with pytest.raises(ValueError, match="cluster_id"):
+        dedup_clusters(bad, pairs)
 
 
 def test_dedup_documents_end_to_end(spark):

@@ -229,3 +229,27 @@ def test_per_row_k_broadcast_gate(spark):
     assert len(got) == 2
     # small neighbor side passes the gate on the auto path
     assert len(knn_join(o, nb, "origin_k", broadcast_threshold_rows=1000).collect()) == 2
+
+
+def test_per_row_k_gate_with_broadcasts_disabled(spark, sf_dir):
+    """Session conf autoBroadcastJoinThreshold=-1 disables CATALYST's
+    implicit broadcasts — it must NOT make the per-row-k gate reject a
+    tiny file-backed neighbor table (the gate falls back to the 64 MiB
+    hard cap), while the auto router still respects it for uniform k
+    (routes to rings, no forced broadcast)."""
+    from pyspark.sql import functions as F
+
+    from geoengine import datasets
+    from geoengine.knn import knn_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = datasets.customer_points(spark, sf_dir).withColumn(
+            "k", (1 + F.col("id") % 3).cast("int")
+        )
+        nb = datasets.supplier_points(spark, sf_dir)
+        got = knn_join(o.limit(5), nb, "origin_k")
+        assert got.count() > 0  # tiny parquet side passes the cap gate
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

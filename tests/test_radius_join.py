@@ -301,3 +301,32 @@ def test_search_per_row_unit_col_nested(spark):
     # searchSpace is rendered at each origin's own km radius: 100 mi vs
     # 100 km give different prefixes at the same origin geometry offset
     assert set(by_id["1"]["searchSpace"]) <= {"0", "1"}
+
+
+def test_assemble_uniform_radius_with_unit_col(spark):
+    """Public assemble surface: uniform numeric radius + per-row unit col —
+    the radius is in each row's OWN unit, so the searchSpace prefix must
+    differ between a miles row and a km row at the same geometry (100 mi
+    covers more than 100 km -> shorter or equal prefix), and ms reports
+    per row."""
+    from geoengine.join import radius_join_pairs_per_row
+
+    o = spark.createDataFrame(pd.DataFrame(
+        {"id": ["m", "k"], "latitude": [10.0, 10.0],
+         "longitude": [20.0, 20.0], "radius": [100.0, 100.0],
+         "unit": ["miles", "km"]}
+    ))
+    nb = spark.createDataFrame(pd.DataFrame(
+        {"id": ["x"], "latitude": [10.1], "longitude": [20.1]}
+    ))
+    pairs = radius_join_pairs_per_row(
+        spark.createDataFrame(o.toPandas()), nb,
+        radius_col="radius", unit_col="unit", max_radius=200.0,
+    )
+    res = assemble_search_results(pairs, unit="km", radius=100.0,
+                                  unit_col="origin_unit")
+    rows = {r["origin"]["id"]: r for r in res.collect()}
+    assert rows["m"]["neighbors"][0]["ms"] == "miles"
+    assert rows["k"]["neighbors"][0]["ms"] == "km"
+    sm, sk = rows["m"]["searchSpace"], rows["k"]["searchSpace"]
+    assert len(sm) <= len(sk) and sm != sk  # bigger km radius -> shorter prefix
