@@ -152,3 +152,27 @@ def test_prepartitioned_search_elides_topk_and_assembly_exchanges(spark, sf_dir)
     p0 = _plan(spark, search(o, nb, 500.0, "km", max_results=5,
                              strategy="broadcast"), "simple")
     assert "hashpartitioning(origin_id" in p0, p0
+
+
+def test_per_row_unit_join_stays_jvm_only(spark, sf_dir):
+    """The per-row unit column adds CASE expressions, never Python: the
+    mixed-unit per-row join must keep zero Python eval nodes and keep the
+    ACOS refinement riding the join."""
+    from geoengine.join import radius_join_pairs_per_row
+
+    o = (
+        datasets.customer_points(spark, sf_dir)
+        .withColumn("radius", 100.0 + (F.col("id") % 7) * 100.0)
+        .withColumn(
+            "unit",
+            F.when(F.col("id") % 2 == 0, F.lit("miles")).otherwise(F.lit("km")),
+        )
+    )
+    pairs = radius_join_pairs_per_row(
+        o, datasets.supplier_points(spark, sf_dir),
+        radius_col="radius", unit_col="unit", max_radius=1200.0,
+    )
+    p = _plan(spark, pairs)
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in p, f"python on the hot path: {python_node}"
+    assert "ACOS" in p.upper()
