@@ -1196,6 +1196,144 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster_id", "is_keeper")
 
 
+# trajectory surface constants: glitch threshold sits inside the observed
+# speed spread of the synthetic fixes (17 km/h .. 1.1e5 km/h at sf0.01) so
+# both flag values occur; geofence polygons are the seeded pip fixture at
+# the widest scale that respects the engine's <180-degree lon-span
+# modelling convention (max span 156.7 deg — wider would trip the
+# antimeridian shifted-frame path on non-wrapping polygons) while keeping
+# multi-fix visit runs common (1,429 of 4,753 visits have >= 2 events at
+# sf0.01, max run 8)
+SEG_GLITCH_KMH = 25000.0
+GEOFENCE_N, GEOFENCE_SEED, GEOFENCE_SCALE = 6, 11, 16.0
+
+
+def _with_utc(spark: SparkSession, build):
+    """Run ``build()`` with the session time zone pinned to UTC (events.ts
+    is TIMESTAMP_NTZ: epoch extraction depends on the session zone — same
+    pinning as q_streaming_tiles) and restore the previous zone."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return build()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segment metrics + teleportation flag (the mobility-data
+    cleaning op): consecutive-fix great-circle length, exact elapsed
+    seconds (integer-microsecond arithmetic, DuckDB epoch_us twin), speed,
+    and the over-speed glitch flag. seg_km and kmh are single expressions
+    with identical IEEE op order on both sides -> 6dp-stable."""
+    from geoengine.trajectories import segment_metrics
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        seg = segment_metrics(pts, max_kmh=SEG_GLITCH_KMH)
+        # the pin only needs to cover DataFrame CREATION: Spark's
+        # ResolveTimeZone stamps the session zone into the NTZ cast at
+        # analysis (Dataset.ofRows), so the later driver-side collect
+        # runs with UTC baked into the plan regardless of session state
+        return seg.select(
+            "user_id",
+            F.col("id").alias("event_id"),
+            F.round("seg_km", 6).alias("seg_km"),
+            F.round("dt_s", 6).alias("dt_s"),
+            F.round("kmh", 6).alias("kmh"),
+            "is_glitch",
+        )
+
+    return _with_utc(spark, build)
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory rollup: path length, net displacement,
+    duration, mean speed, straightness. path_km/avg_kmh are rounded to 3dp
+    (not the usual 6): the segment sum is reassociated across partitions,
+    so only ~1e-9 absolute agreement is guaranteed at 1e5-km magnitudes —
+    3dp makes the boundary-flip probability negligible. displacement_km
+    (single two-point distance) and duration_s (integer micros) keep exact
+    op-order parity at 6dp."""
+    from geoengine.trajectories import trajectory_stats
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        st = trajectory_stats(pts)
+        return st.select(
+            "user_id",
+            "n_points",
+            F.round("path_km", 3).alias("path_km"),
+            F.round("displacement_km", 6).alias("displacement_km"),
+            F.round("duration_s", 6).alias("duration_s"),
+            F.round("avg_kmh", 3).alias("avg_kmh"),
+            F.round("straightness", 6).alias("straightness"),
+        )
+
+    return _with_utc(spark, build)
+
+
+def q_geofence_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing: visit intervals per (user, fence) — PIP membership via
+    the certified cell-prefiltered ray-cast join, sessionized into maximal
+    consecutive-fix runs (gaps-and-islands). The oracle recomputes
+    membership per point (vertices inlined) and the identical island
+    arithmetic; enter/exit are raw timestamps (no float rounding)."""
+    from geoengine.fixtures import polygons_table
+    from geoengine.trajectories import geofence_visits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = datasets.with_point(ev, "event_id", 37, 91).select(
+        F.col("event_id").alias("id"), "user_id", "ts",
+        "latitude", "longitude",
+    )
+    polys = polygons_table(
+        spark, GEOFENCE_N, seed=GEOFENCE_SEED,
+        half_width_scale=GEOFENCE_SCALE,
+    ).withColumn("rings", F.array("ring")).drop("ring")
+    v = geofence_visits(pts, polys)
+    # gate projection renders the NTZ timestamps as epoch micros (BIGINT,
+    # UTC pin) — same precedent as streaming_tiles' win_start: integer
+    # values compare robustly under any driver serialization
+    def render():
+        return v.select(
+            "user_id",
+            "poly_id",
+            F.unix_micros(F.col("enter_ts").cast("timestamp")).alias(
+                "enter_us"
+            ),
+            F.unix_micros(F.col("exit_ts").cast("timestamp")).alias(
+                "exit_us"
+            ),
+            "n_events",
+        )
+
+    return _with_utc(spark, render)
+
+
+def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call IMAGE corpus dedup (images.dedup_images — the multimodal
+    twin of dedup_documents): phash pairs -> connected components ->
+    keeper, over the 600-row near-dup fixture. The oracle derives every
+    cluster and keeper decision from the fixture's index arithmetic
+    (i%5==3 is a noised twin of i-1), so decode/DCT kernel drift, recall
+    loss, OR a false-positive merge each fails the gate."""
+    from geoengine.fixtures import near_dup_images_table
+    from geoengine.images import dedup_images
+
+    imgs = near_dup_images_table(spark, 600)
+    out = dedup_images(imgs, id_col="image_id")
+    return out.select("image_id", "cluster_id", "is_keeper")
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -1210,15 +1348,19 @@ def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 entries of this dict, in insertion order. Entries 51+ are the
 # rotation bench; the window ROTATES each round so no query's latest
 # driver row ages past ~2 rounds. Round-5 rotation: the 14 queries parked
-# in r04 (last driver row r03) move back inside; the two round-5-new/
-# changed queries (dedup_clusters, radius_per_row with per-row units)
-# lead; 15 static pure-Column queries each driver-green in >=2 rounds
-# (r03+r04 or more) park at 51+. tools/check_oracle.py still covers ALL
-# entries every round.
+# in r04 (last driver row r03) move back inside; the round-5-new queries
+# (dedup_clusters, the trajectory/geofence/image-dedup family,
+# radius_per_row with per-row units) lead; 19 queries each driver-green in
+# >=2 rounds (r03+r04 or more) park at 51+. tools/check_oracle.py still
+# covers ALL entries every round.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
     "dedup_clusters": q_dedup_clusters,
+    "trajectory_segments": q_trajectory_segments,
+    "trajectory_stats": q_trajectory_stats,
+    "geofence_visits": q_geofence_visits,
+    "dedup_images": q_dedup_images,
     "radius_per_row": q_radius_per_row,
     # rotated back in (last driver row r03)
     "radius_pairs_miles": q_radius_pairs_miles,
@@ -1243,10 +1385,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
     "radius_bucketed": q_radius_bucketed,
-    "radius_orphans": q_radius_orphans,
-    "latest_per_user": q_latest_per_user,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1270,8 +1408,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
     "stratified_sample": q_stratified_sample,
-    # -- 51+: rotation bench (static pure-Column ops, driver-green in >=2
-    # rounds incl. r04; local-twin coverage every round) --
+    # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
+    # local-twin coverage every round) --
+    "radius_orphans": q_radius_orphans,
+    "latest_per_user": q_latest_per_user,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
     "tile_assign": q_tile_assign,
     "tile_rollup": q_tile_rollup,
     "cell_pyramid": q_cell_pyramid,
@@ -1431,6 +1573,60 @@ def _sql_pip_multi() -> str:
                  AND ((e.yj > p.lat) != (e.yk > p.lat))
                  AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
                               / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
+def _sql_geofence() -> str:
+    """DuckDB twin of geofence_visits: per-point even-odd membership
+    (vertices inlined, identical fixture arithmetic) + the same
+    gaps-and-islands sessionization (island key = global rank minus
+    within-fence rank), enter/exit rendered as epoch micros."""
+    from geoengine.fixtures import polygon_rings
+
+    edges = []
+    for pid, ring in polygon_rings(GEOFENCE_N, GEOFENCE_SEED,
+                                   GEOFENCE_SCALE):
+        k = len(ring)
+        for j in range(k):
+            yj, xj = ring[j]
+            yk, xk = ring[(j - 1) % k]
+            edges.append(f"('{pid}', {_D(yj)}, {_D(xj)}, {_D(yk)}, {_D(xk)})")
+    vals = ", ".join(edges)
+    return f"""
+        WITH p AS (SELECT event_id AS id, user_id, ts,
+                          {_E_LAT} AS lat, {_E_LON} AS lon
+                   FROM events),
+        rn AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, id) AS trn
+               FROM p),
+        edges(pid, yj, xj, yk, xk) AS (VALUES {vals}),
+        polys AS (SELECT DISTINCT pid FROM edges),
+        hits AS (
+            SELECT r.user_id, g.pid, r.ts, r.trn
+            FROM rn r CROSS JOIN polys g
+            WHERE (SELECT count(*) FROM edges e
+                   WHERE e.pid = g.pid
+                     AND ((e.yj > r.lat) != (e.yk > r.lat))
+                     AND (r.lon < (e.xk - e.xj) * (r.lat - e.yj)
+                                  / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+        ),
+        isl AS (SELECT *, trn - row_number() OVER (PARTITION BY user_id, pid
+                                                   ORDER BY trn) AS grp
+                FROM hits)
+        SELECT user_id, pid AS poly_id,
+               epoch_us(min(ts)) AS enter_us,
+               epoch_us(max(ts)) AS exit_us,
+               count(*) AS n_events
+        FROM isl GROUP BY user_id, pid, grp
+    """
+
+
+def _sql_trajectory_points() -> str:
+    """Shared events->ordered-fixes CTE prefix for the trajectory oracles."""
+    return f"""
+        p AS (SELECT event_id AS id, user_id, ts,
+                     {_E_LAT} AS lat, {_E_LON} AS lon
+              FROM events)
     """
 
 
@@ -1812,6 +2008,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS cluster_id,
                    (node = min(label)) AS is_keeper
             FROM walk GROUP BY node
+        """,
+        # consecutive-fix segments: seg_km/kmh are single expressions with
+        # identical IEEE op order on both sides (6dp-stable); dt_s is exact
+        # integer-microsecond arithmetic (epoch_us == unix_micros under the
+        # UTC pin)
+        "trajectory_segments": f"""
+            WITH {_sql_trajectory_points()},
+            w AS (
+                SELECT user_id, id, lat, lon,
+                       lag(lat) OVER win AS pla, lag(lon) OVER win AS plo,
+                       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER win
+                            AS DOUBLE) / 1000000.0e0 AS dt_s
+                FROM p
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, id)
+            ),
+            s AS (
+                SELECT user_id, id, dt_s,
+                       {exprs.sql_dist_km('pla', 'plo', 'lat', 'lon')} AS seg
+                FROM w WHERE pla IS NOT NULL
+            )
+            SELECT user_id, id AS event_id,
+                   round(seg, 6) AS seg_km,
+                   round(dt_s, 6) AS dt_s,
+                   round(CASE WHEN dt_s > 0.0e0
+                              THEN seg / (dt_s / 3600.0e0) END, 6) AS kmh,
+                   coalesce((CASE WHEN dt_s > 0.0e0
+                                  THEN seg / (dt_s / 3600.0e0) END)
+                            > {_D(SEG_GLITCH_KMH)}, false)
+                   OR (dt_s = 0.0e0 AND seg > 0.0e0) AS is_glitch
+            FROM s
+        """,
+        # per-entity rollup: path_km/avg_kmh at 3dp (the segment sum is
+        # reassociated across Spark partitions — only ~1e-9 absolute
+        # agreement at 1e5-km magnitudes); displacement (two-point
+        # distance) and duration (integer micros) exact at 6dp
+        "trajectory_stats": f"""
+            WITH {_sql_trajectory_points()},
+            w AS (
+                SELECT user_id, lat, lon, epoch_us(ts) AS us,
+                       lag(lat) OVER win AS pla, lag(lon) OVER win AS plo,
+                       first_value(lat) OVER winf AS f_lat,
+                       first_value(lon) OVER winf AS f_lon,
+                       last_value(lat) OVER winf AS l_lat,
+                       last_value(lon) OVER winf AS l_lon
+                FROM p
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, id),
+                       winf AS (PARTITION BY user_id ORDER BY ts, id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING)
+            ),
+            g AS (
+                SELECT user_id, count(*) AS n_points,
+                       -- NULL-lag guard: greatest/least ignore NULLs in
+                       -- DuckDB too, so the unguarded clamp would fold
+                       -- the first row to a phantom acos(-1) segment
+                       coalesce(sum(CASE WHEN pla IS NOT NULL THEN
+                           {exprs.sql_dist_km('pla', 'plo', 'lat', 'lon')}
+                       END), 0.0e0) AS path_km,
+                       {exprs.sql_dist_km('max(f_lat)', 'max(f_lon)',
+                                          'max(l_lat)', 'max(l_lon)')}
+                           AS displacement_km,
+                       CAST(max(us) - min(us) AS DOUBLE) / 1000000.0e0
+                           AS duration_s
+                FROM w GROUP BY user_id
+            )
+            SELECT user_id, n_points,
+                   round(path_km, 3) AS path_km,
+                   round(displacement_km, 6) AS displacement_km,
+                   round(duration_s, 6) AS duration_s,
+                   round(CASE WHEN duration_s > 0.0e0
+                              THEN path_km / (duration_s / 3600.0e0)
+                         END, 3) AS avg_kmh,
+                   round(CASE WHEN path_km > 0.0e0
+                              THEN displacement_km / path_km
+                         END, 6) AS straightness
+            FROM g
+        """,
+        "geofence_visits": _sql_geofence(),
+        # clusters and keepers derived from the image fixture's index
+        # arithmetic: i%5==3 is a noised twin of i-1 (disjoint pair
+        # components — chain MERGING is certified by dedup_clusters; this
+        # row certifies the multimodal composition end-to-end)
+        "dedup_images": """
+            SELECT printf('img%010d', i) AS image_id,
+                   printf('img%010d', CASE WHEN i % 5 = 3 THEN i - 1
+                                           ELSE i END) AS cluster_id,
+                   (i % 5 <> 3) AS is_keeper
+            FROM range(0, 600) t(i)
         """,
         "radius_counts": f"""
             {_SQL_POINTS}

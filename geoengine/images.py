@@ -294,3 +294,33 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield b
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def dedup_images(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    max_hamming: int = 7,
+    block_bits: int = 8,
+    phash_col: str | None = None,
+    keeper_order: list | None = None,
+    max_iter: int = 30,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """One-call IMAGE corpus dedup — the multimodal twin of
+    clusters.dedup_documents: perceptual-hash near-dup pairs
+    (phash_near_dup_pairs: batched DCT + block-pigeonhole candidate join,
+    or a stored ``phash_col`` skipping decode entirely) -> connected
+    components -> deterministic keeper. Returns imgs + (cluster_id,
+    is_keeper); ``.where("is_keeper")`` is the deduplicated image corpus.
+    Every stage is the corresponding certified operator, just wired
+    together."""
+    from .clusters import dedup_clusters
+
+    pairs = phash_near_dup_pairs(
+        imgs, id_col=id_col, max_hamming=max_hamming,
+        block_bits=block_bits, phash_col=phash_col,
+    )
+    return dedup_clusters(
+        imgs, pairs, id_col=id_col, keeper_order=keeper_order,
+        max_iter=max_iter, cache_registry=cache_registry,
+    )

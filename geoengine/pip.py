@@ -103,13 +103,17 @@ def points_in_multipolygons(
     point_id: str = "id",
     poly_id: str = "poly_id",
     rings_col: str = "rings",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(point_id, poly_id) pairs where the point lies inside the polygon
     under the even-odd rule across all rings.
 
     points: (id, latitude, longitude); polygons: (poly_id,
     rings: array<array<struct<lat:double, lon:double>>>) — outer ring(s)
-    plus holes; disjoint outer rings express multipolygons.
+    plus holes; disjoint outer rings express multipolygons. ``keep`` names
+    extra POINT-side columns carried through to the output (e.g. the
+    entity/timestamp columns geofence sessionization needs), saving the
+    caller a re-join on point_id.
 
     Plan: bbox of ALL rings -> covering cells (explode) | point -> single
     cell -> equi-join on cell -> exact ray-cast UDF on survivors only,
@@ -124,7 +128,7 @@ def points_in_multipolygons(
             F.col("_rlat"), F.col("_rlon"), F.col("_wrap"),
         )
     )
-    return hit.select(F.col(point_id).alias("point_id"), poly_id)
+    return hit.select(F.col(point_id).alias("point_id"), poly_id, *keep)
 
 
 def polygon_covering_cells(

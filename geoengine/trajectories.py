@@ -1,0 +1,234 @@
+"""Trajectory analytics over timestamped point sequences (north-rule
+extension; the reference has no counterpart — its pipeline is pointwise).
+
+Three operators over "entity moves through time" data — the other half of
+a geospatial event table, complementing the pointwise tile/cell/radius
+surfaces:
+
+- :func:`segment_metrics` — consecutive-point segments per entity:
+  great-circle length, elapsed time, speed, and a teleportation/GPS-glitch
+  flag (the standard mobility-data cleaning step before any downstream
+  aggregation).
+- :func:`trajectory_stats` — per-entity rollup: path length, net
+  displacement, duration, mean speed, straightness index.
+- :func:`geofence_visits` — visit intervals per (entity, polygon):
+  point-in-polygon membership (the certified cell-prefiltered ray-cast
+  join, pip.py) sessionized into maximal runs of consecutive fixes inside
+  the fence, emitting enter/exit timestamps — the geofencing primitive.
+
+Distance kernel is the engine's law-of-cosines R=6371 (exprs.dist_km,
+parity constants GeoSearch.scala:150-156).
+
+Timestamps: event tables carry TIMESTAMP_NTZ (no zone). Elapsed-time
+columns are computed from ``unix_micros(cast(ts as timestamp))`` — integer
+microseconds, so the subtraction is exact — which interprets NTZ in the
+SESSION time zone. Differences are zone-invariant except across a DST
+transition of the session zone; pin ``spark.sql.session.timeZone`` to UTC
+(as the gate queries do) for fully deterministic output.
+
+Scale posture (100 TB of fixes): every operator is pure-Column codegen
+over ONE window shuffle keyed by the entity id — lag, row_number and
+first/last ride the same sort — and rollups are map-side-combinable
+groupBys on the same key, so AQE coalesces post-shuffle partitions and a
+hot entity costs only its own row count. No UDFs, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import exprs
+
+
+def _epoch_us(ts: Column) -> Column:
+    """Exact integer microseconds since epoch for an NTZ (or zoned)
+    timestamp column; see module docstring for the session-zone caveat."""
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def segment_metrics(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    max_kmh: float | None = None,
+) -> DataFrame:
+    """Per consecutive-fix segment of each entity's trajectory (ordered by
+    ``(ts, seq)`` — the seq tie-break makes equal-timestamp fixes
+    deterministic): one output row per segment, keyed by the DESTINATION
+    fix.
+
+    Output columns: entity, seq, ts, ``seg_km`` (great-circle length),
+    ``dt_s`` (elapsed seconds, exact micros arithmetic), ``kmh`` (NULL when
+    ``dt_s == 0`` — co-timestamped fixes have no defined speed), and — when
+    ``max_kmh`` is given — ``is_glitch`` (speed above the physical bound,
+    OR a zero-dt fix that actually moved: the two teleportation shapes a
+    GPS cleaning pass drops). The first fix of each entity emits no row
+    (it has no predecessor).
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    us = _epoch_us(F.col(ts_col))
+    seg = points.select(
+        entity_col,
+        seq_col,
+        ts_col,
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+        F.lag(lat_col).over(w).alias("_pla"),
+        F.lag(lon_col).over(w).alias("_plo"),
+        ((us - F.lag(us).over(w)).cast("double") / 1.0e6).alias("dt_s"),
+    ).where(F.col("_pla").isNotNull())
+    seg = seg.withColumn(
+        "seg_km",
+        exprs.dist_km(
+            F.col("_pla"), F.col("_plo"), F.col("_lat"), F.col("_lon")
+        ),
+    ).withColumn(
+        "kmh",
+        F.when(
+            F.col("dt_s") > 0.0,
+            F.col("seg_km") / (F.col("dt_s") / 3600.0),
+        ),
+    )
+    cols = [entity_col, seq_col, ts_col, "seg_km", "dt_s", "kmh"]
+    if max_kmh is not None:
+        seg = seg.withColumn(
+            "is_glitch",
+            # NULL speed (co-timestamped fixes) is not evidence of a
+            # glitch: coalesce the over-speed clause so a zero-dt,
+            # zero-move fix flags false, not NULL
+            F.coalesce(F.col("kmh") > F.lit(float(max_kmh)), F.lit(False))
+            | ((F.col("dt_s") == 0.0) & (F.col("seg_km") > 0.0)),
+        )
+        cols.append("is_glitch")
+    return seg.select(*cols)
+
+
+def trajectory_stats(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Per-entity trajectory rollup: ``n_points``, ``path_km`` (sum of
+    consecutive-fix great-circle segments), ``displacement_km``
+    (first fix -> last fix), ``duration_s``, ``avg_kmh`` (path over
+    duration; NULL for zero-duration trajectories) and ``straightness``
+    (displacement/path in [0,1]; NULL when the entity never moved —
+    the standard tortuosity index).
+
+    One window shuffle on the entity key computes lag distances AND
+    first/last fix coordinates (``first_value``/``last_value`` over the
+    full frame share the window sort); the rollup is a
+    map-side-combinable groupBy on the same key.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    us = _epoch_us(F.col(ts_col))
+    la, lo = F.col(lat_col), F.col(lon_col)
+    # the NULL-lag first row must be guarded EXPLICITLY: dist_km's acos
+    # clamp uses greatest/least, which IGNORE NULL inputs (in Spark and
+    # DuckDB both), so an unguarded NULL coordinate folds to acos(-1) — a
+    # phantom 20,015-km antipodal segment, not a NULL
+    rows = points.select(
+        entity_col,
+        F.when(
+            F.lag(la).over(w).isNotNull(),
+            exprs.dist_km(F.lag(la).over(w), F.lag(lo).over(w), la, lo),
+        ).alias("_seg_km"),
+        us.alias("_us"),
+        F.first(la).over(wf).alias("_f_lat"),
+        F.first(lo).over(wf).alias("_f_lon"),
+        F.last(la).over(wf).alias("_l_lat"),
+        F.last(lo).over(wf).alias("_l_lon"),
+    )
+    out = rows.groupBy(entity_col).agg(
+        F.count("*").alias("n_points"),
+        F.coalesce(F.sum("_seg_km"), F.lit(0.0)).alias("path_km"),
+        # first/last coords are frame-constant per entity; max() reduces
+        # them deterministically without an order-sensitive first()
+        exprs.dist_km(
+            F.max("_f_lat"), F.max("_f_lon"), F.max("_l_lat"), F.max("_l_lon")
+        ).alias("displacement_km"),
+        ((F.max("_us") - F.min("_us")).cast("double") / 1.0e6).alias(
+            "duration_s"
+        ),
+    )
+    return out.withColumn(
+        "avg_kmh",
+        F.when(
+            F.col("duration_s") > 0.0,
+            F.col("path_km") / (F.col("duration_s") / 3600.0),
+        ),
+    ).withColumn(
+        "straightness",
+        F.when(
+            F.col("path_km") > 0.0,
+            F.col("displacement_km") / F.col("path_km"),
+        ),
+    )
+
+
+def geofence_visits(
+    points: DataFrame,
+    polygons: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    half_bits: int = 8,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """Visit intervals: one row per maximal run of consecutive fixes (in
+    the entity's global ``(ts, seq)`` order) that lie inside a polygon.
+
+    ``points``: (seq, entity, ts, latitude, longitude); ``polygons``:
+    the multi-ring table pip.points_in_multipolygons takes. Output:
+    (entity, poly_id, enter_ts, exit_ts, n_events). A fix inside two
+    fences contributes to both; leaving for even one fix and returning
+    opens a NEW visit (classic gaps-and-islands semantics — the island
+    key is ``global_rank - within-fence rank``, constant exactly on
+    consecutive-membership runs).
+
+    Plan: one window shuffle ranks each entity's fixes; membership is the
+    certified cell-prefiltered PIP join (NO broadcast of either side, no
+    cartesian); a second window on (entity, polygon) + one groupBy build
+    the islands. Hot fences cost their own membership rows only.
+    """
+    from .pip import points_in_multipolygons
+
+    for reserved in ("_traj_rn", "_traj_grp"):
+        if reserved in points.columns:
+            raise ValueError(
+                f"geofence_visits uses an internal {reserved!r} column but "
+                "points already has one — rename or drop it first"
+            )
+    w_all = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    ranked = points.withColumn("_traj_rn", F.row_number().over(w_all))
+    hits = points_in_multipolygons(
+        ranked,
+        polygons,
+        half_bits=half_bits,
+        point_id=seq_col,
+        poly_id=poly_id,
+        rings_col=rings_col,
+        keep=(entity_col, ts_col, "_traj_rn"),
+    )
+    w_pp = Window.partitionBy(entity_col, poly_id).orderBy("_traj_rn")
+    isl = hits.withColumn(
+        "_traj_grp", F.col("_traj_rn") - F.row_number().over(w_pp)
+    )
+    return (
+        isl.groupBy(entity_col, poly_id, "_traj_grp")
+        .agg(
+            F.min(ts_col).alias("enter_ts"),
+            F.max(ts_col).alias("exit_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("_traj_grp")
+    )

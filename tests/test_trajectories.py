@@ -1,0 +1,232 @@
+"""Trajectory operators: segment metrics, per-entity rollups, geofence
+visit sessionization — handcrafted fixtures with known geometry/timing so
+every output value is asserted against an independent computation."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoengine import exprs
+from geoengine.trajectories import (
+    geofence_visits,
+    segment_metrics,
+    trajectory_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _points(spark, rows):
+    """rows: (id, entity, seconds_from_T0, lat, lon)."""
+    return spark.createDataFrame(
+        [(i, e, _ts(s), la, lo) for i, e, s, la, lo in rows],
+        schema="id long, user_id long, ts timestamp_ntz, "
+               "latitude double, longitude double",
+    )
+
+
+def _dist_km(lat1, lon1, lat2, lon2):
+    c = (
+        np.sin(np.radians(lat1)) * np.sin(np.radians(lat2))
+        + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+        * np.cos(np.radians(lon1) - np.radians(lon2))
+    )
+    return float(np.arccos(min(max(c, -1.0), 1.0)) * 6371.0)
+
+
+@pytest.fixture(scope="module")
+def utc(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+class TestSegmentMetrics:
+    def test_values_and_ordering(self, utc):
+        # entity 1: 3 fixes; fix 20 and 30 share a timestamp -> the id
+        # tie-break fixes the order (20 before 30)
+        pts = _points(utc, [
+            (10, 1, 0.0, 0.0, 0.0),
+            (20, 1, 3600.0, 0.0, 1.0),
+            (30, 1, 3600.0, 0.0, 1.0),   # co-timestamped, same place
+            (40, 2, 0.0, 10.0, 10.0),    # other entity: no cross-segments
+        ])
+        seg = segment_metrics(pts, max_kmh=1000.0).orderBy("id")
+        rows = {r["id"]: r for r in seg.collect()}
+        assert set(rows) == {20, 30}  # first fix per entity emits no row
+        d = _dist_km(0.0, 0.0, 0.0, 1.0)
+        assert rows[20]["seg_km"] == pytest.approx(d, rel=1e-12)
+        assert rows[20]["dt_s"] == 3600.0
+        assert rows[20]["kmh"] == pytest.approx(d, rel=1e-12)  # 1 hour
+        assert rows[20]["is_glitch"] is False
+        # zero elapsed, zero distance: speed undefined, not a glitch
+        assert rows[30]["seg_km"] == 0.0
+        assert rows[30]["dt_s"] == 0.0
+        assert rows[30]["kmh"] is None
+        assert rows[30]["is_glitch"] is False
+
+    def test_glitch_flags(self, utc):
+        pts = _points(utc, [
+            (1, 7, 0.0, 0.0, 0.0),
+            (2, 7, 1.0, 0.0, 1.0),     # ~111 km in 1 s -> over any bound
+            (3, 7, 1.0, 0.0, 2.0),     # zero dt but MOVED -> teleport
+        ])
+        seg = segment_metrics(pts, max_kmh=1000.0)
+        got = {r["id"]: r["is_glitch"] for r in seg.collect()}
+        assert got == {2: True, 3: True}
+
+    def test_no_flag_column_without_threshold(self, utc):
+        pts = _points(utc, [(1, 1, 0.0, 0.0, 0.0), (2, 1, 1.0, 0.0, 1.0)])
+        assert "is_glitch" not in segment_metrics(pts).columns
+
+
+class TestTrajectoryStats:
+    def test_rollup_values(self, utc):
+        # entity 1: right-angle path 0,0 -> 0,1 -> 1,1 over 2 h
+        pts = _points(utc, [
+            (1, 1, 0.0, 0.0, 0.0),
+            (2, 1, 3600.0, 0.0, 1.0),
+            (3, 1, 7200.0, 1.0, 1.0),
+            (9, 2, 0.0, 5.0, 5.0),  # single fix
+        ])
+        got = {r["user_id"]: r for r in trajectory_stats(pts).collect()}
+        leg1 = _dist_km(0.0, 0.0, 0.0, 1.0)
+        leg2 = _dist_km(0.0, 1.0, 1.0, 1.0)
+        disp = _dist_km(0.0, 0.0, 1.0, 1.0)
+        r1 = got[1]
+        assert r1["n_points"] == 3
+        assert r1["path_km"] == pytest.approx(leg1 + leg2, rel=1e-12)
+        assert r1["displacement_km"] == pytest.approx(disp, rel=1e-12)
+        assert r1["duration_s"] == 7200.0
+        assert r1["avg_kmh"] == pytest.approx((leg1 + leg2) / 2.0, rel=1e-12)
+        assert r1["straightness"] == pytest.approx(
+            disp / (leg1 + leg2), rel=1e-12
+        )
+        # single-fix entity: zero path, zero duration, NULL ratios
+        r2 = got[2]
+        assert r2["n_points"] == 1
+        assert r2["path_km"] == 0.0
+        assert r2["displacement_km"] == 0.0
+        assert r2["duration_s"] == 0.0
+        assert r2["avg_kmh"] is None
+        assert r2["straightness"] is None
+
+    def test_first_last_follow_tie_break(self, utc):
+        # two fixes share the max timestamp; id order decides which is
+        # 'last' -> displacement must use id=3's position
+        pts = _points(utc, [
+            (1, 1, 0.0, 0.0, 0.0),
+            (2, 1, 60.0, 0.0, 5.0),
+            (3, 1, 60.0, 0.0, 9.0),
+        ])
+        r = trajectory_stats(pts).collect()[0]
+        assert r["displacement_km"] == pytest.approx(
+            _dist_km(0.0, 0.0, 0.0, 9.0), rel=1e-12
+        )
+
+
+def _square(pid, lat0, lat1, lon0, lon1):
+    return {
+        "poly_id": pid,
+        "rings": [[
+            {"lat": lat0, "lon": lon0}, {"lat": lat0, "lon": lon1},
+            {"lat": lat1, "lon": lon1}, {"lat": lat1, "lon": lon0},
+        ]],
+    }
+
+
+@pytest.fixture()
+def fences(spark):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame([
+            _square("A", 0.0, 10.0, 0.0, 10.0),
+            _square("B", 5.0, 15.0, 5.0, 15.0),  # overlaps A
+        ]),
+        schema="poly_id string, "
+               "rings array<array<struct<lat:double, lon:double>>>",
+    )
+
+
+class TestGeofenceVisits:
+    def test_islands_reentry_and_overlap(self, utc, fences):
+        # entity 1 path: in A, in A, OUT, in A -> two visits to A
+        # (reentry); fix at (7,7) is inside BOTH fences
+        pts = _points(utc, [
+            (1, 1, 0.0, 2.0, 2.0),     # A
+            (2, 1, 10.0, 7.0, 7.0),    # A and B
+            (3, 1, 20.0, 50.0, 50.0),  # outside both
+            (4, 1, 30.0, 3.0, 3.0),    # A again -> NEW visit
+        ])
+        v = geofence_visits(pts, fences)
+        got = sorted(
+            (r["poly_id"], r["enter_ts"], r["exit_ts"], r["n_events"])
+            for r in v.collect()
+        )
+        assert got == [
+            ("A", _ts(0.0), _ts(10.0), 2),
+            ("A", _ts(30.0), _ts(30.0), 1),
+            ("B", _ts(10.0), _ts(10.0), 1),
+        ]
+
+    def test_entity_isolation(self, utc, fences):
+        # consecutive ranks belong to DIFFERENT entities -> no merged runs
+        pts = _points(utc, [
+            (1, 1, 0.0, 2.0, 2.0),
+            (2, 2, 5.0, 2.0, 2.0),
+            (3, 1, 10.0, 2.0, 2.0),
+        ])
+        v = geofence_visits(pts, fences)
+        got = sorted((r["user_id"], r["n_events"]) for r in v.collect())
+        assert got == [(1, 2), (2, 1)]
+
+    def test_gap_in_fence_rank_not_time(self, utc, fences):
+        # the island key is CONSECUTIVE-FIX membership: a long silent gap
+        # with no intervening fix does NOT split the visit
+        pts = _points(utc, [
+            (1, 1, 0.0, 2.0, 2.0),
+            (2, 1, 99999.0, 2.5, 2.5),
+        ])
+        v = geofence_visits(pts, fences).collect()
+        assert len(v) == 1 and v[0]["n_events"] == 2
+
+    def test_reserved_column_guard(self, utc, fences):
+        pts = _points(utc, [(1, 1, 0.0, 2.0, 2.0)]).withColumn(
+            "_traj_rn", F.lit(1)
+        )
+        with pytest.raises(ValueError, match="_traj_rn"):
+            geofence_visits(pts, fences)
+
+    def test_no_cartesian_in_plan(self, utc, fences):
+        pts = _points(utc, [(1, 1, 0.0, 2.0, 2.0)])
+        plan = geofence_visits(pts, fences)._sc is not None and \
+            geofence_visits(pts, fences)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDedupImages:
+    def test_composition_on_fixture(self, spark):
+        from geoengine.fixtures import near_dup_images_table
+        from geoengine.images import dedup_images
+
+        imgs = near_dup_images_table(spark, 50)
+        out = dedup_images(imgs).select(
+            "image_id", "cluster_id", "is_keeper"
+        )
+        got = {r["image_id"]: r for r in out.collect()}
+        assert len(got) == 50
+        for i in range(50):
+            iid = f"img{i:010d}"
+            want = i - 1 if i % 5 == 3 else i
+            assert got[iid]["cluster_id"] == f"img{want:010d}", iid
+            assert got[iid]["is_keeper"] is (i % 5 != 3)
