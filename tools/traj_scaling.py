@@ -1,0 +1,129 @@
+"""Scaling evidence for the round-5 trajectory operators (north rule:
+same job at two parallelism levels on the same input).
+
+Synthesizes a deterministic fixes table big enough that per-query work
+dominates fixed job overhead (spark.range -> key-arithmetic coordinates,
+timestamp_micros time base; NO external data), then times
+trajectory_stats (window sort + groupBy shape) and geofence_visits
+(PIP candidate join + two windows) at interleaved parallelism levels.
+Methodology matches tools/scaling_run.py: in-run min-of-reps after a
+warmup rep, levels interleaved across rounds, per-(query,level) MIN
+across rounds — the robust estimator under this VM's external-steal
+noise (CLAUDE.md). Run EXCLUSIVELY (no concurrent benches).
+
+Usage: python tools/traj_scaling.py [--rounds N] [--levels 2,8,32]
+Prints one JSON line per (round, level) plus a final summary block to
+paste into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geoengine import exprs  # noqa: E402
+from geoengine.session import get_spark  # noqa: E402
+
+N_FIXES_STATS = 20_000_000
+N_ENTITIES = 500_000
+N_FIXES_FENCE = 4_000_000
+
+
+def fixes(spark, n: int, parallelism: int):
+    """Deterministic fixes: entity = id % N_ENTITIES, time base strictly
+    increasing within each entity (id ordering), coordinates from the
+    fixture key arithmetic (exprs builders — same family the gate uses)."""
+    df = spark.range(0, n, 1, parallelism)
+    return df.select(
+        F.col("id"),
+        (F.col("id") % N_ENTITIES).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        exprs.lat_from_key(F.col("id"), 37).alias("latitude"),
+        exprs.lon_from_key(F.col("id"), 91).alias("longitude"),
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_level(cores: int, reps: int) -> dict[str, float]:
+    from geoengine.fixtures import polygons_table
+    from geoengine.trajectories import geofence_visits, trajectory_stats
+
+    spark = get_spark(f"traj-scale-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out: dict[str, float] = {}
+    # partition counts FIXED across levels so per-task work is identical
+    # and the measurement isolates parallelism (same rule bench.py's
+    # images_phash uses)
+    st_src = fixes(spark, N_FIXES_STATS, 64)
+    gf_src = fixes(spark, N_FIXES_FENCE, 64)
+    fences = polygons_table(
+        spark, 6, seed=11, half_width_scale=16.0
+    ).withColumn("rings", F.array("ring")).drop("ring")
+    jobs = {
+        "trajectory_stats": lambda: trajectory_stats(st_src),
+        "geofence_visits": lambda: geofence_visits(gf_src, fences),
+    }
+    for name, fn in jobs.items():
+        force(fn())  # warmup (JIT/codegen/python workers)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            force(fn())
+            times.append(round(time.time() - t0, 2))
+        out[name] = min(times)
+        out[f"{name}_reps"] = times  # type: ignore[assignment]
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--levels", default="2,8,32")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    best: dict[tuple[str, int], float] = {}
+    for rnd in range(args.rounds):
+        for lv in levels:
+            with open("/proc/loadavg") as f:
+                la = f.read().split()[0]
+            res = bench_level(lv, args.reps)
+            print(json.dumps({"round": rnd, "cores": lv,
+                              "loadavg_start": la, **res}), flush=True)
+            for q in ("trajectory_stats", "geofence_visits"):
+                key = (q, lv)
+                best[key] = min(best.get(key, 1e9), res[q])
+    summary = {}
+    for q in ("trajectory_stats", "geofence_visits"):
+        row = {str(lv): best[(q, lv)] for lv in levels}
+        if 2 in levels and 8 in levels:
+            row["eff_2_to_8_raw"] = round(
+                best[(q, 2)] / best[(q, 8)] / 4.0, 3
+            )
+        if 8 in levels and 32 in levels:
+            row["eff_8_to_32_raw"] = round(
+                best[(q, 8)] / best[(q, 32)] / 4.0, 3
+            )
+        summary[q] = row
+    print(json.dumps({"summary": summary,
+                      "n_fixes": {"trajectory_stats": N_FIXES_STATS,
+                                  "geofence_visits": N_FIXES_FENCE},
+                      "n_entities": N_ENTITIES}))
+
+
+if __name__ == "__main__":
+    main()
