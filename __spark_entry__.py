@@ -1334,6 +1334,79 @@ def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "cluster_id", "is_keeper")
 
 
+# co-location gate parameters: 500 km / 1 h over the globally-scattered
+# event fixes gives a small-but-nonempty contact set at every sf
+COLOC_RADIUS_KM, COLOC_TAU_S = 500.0, 3600.0
+HOTSPOT_HB, HOTSPOT_RING = 6, 1
+
+
+def q_co_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location (contact-tracing) join: fix pairs from
+    different users within 500 km AND 1 hour. Engine plan is a single
+    (cell, time-bucket) int64 equi-join (never all-pairs); the oracle is
+    the brute time-window self-join, so candidate coverage (spatial
+    covering cells x adjacent buckets) is certified complete. Output is
+    canonicalized by fix id; dist is reported at 3dp: acos near c~1
+    amplifies a 1-ulp cross-engine trig difference to ~3e-11 km, and at
+    62k rows a 6dp boundary flip is no longer negligible (observed once;
+    the <=radius FILTER is unaffected — boundary-hit probability ~1e-8)."""
+    from geoengine.trajectories import co_location_pairs
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        p = co_location_pairs(pts, COLOC_RADIUS_KM, COLOC_TAU_S)
+        a_first = F.col("seq_a") < F.col("seq_b")
+        return p.select(
+            F.when(a_first, F.col("ent_a")).otherwise(F.col("ent_b"))
+            .alias("user1"),
+            F.least("seq_a", "seq_b").alias("id1"),
+            F.when(a_first, F.col("ent_b")).otherwise(F.col("ent_a"))
+            .alias("user2"),
+            F.greatest("seq_a", "seq_b").alias("id2"),
+            F.round("dist_km", 3).alias("dist_km"),
+            F.round("dt_s", 6).alias("dt_s"),
+        )
+
+    return _with_utc(spark, build)
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hot-spot detection: Getis-Ord Gi* z-score per occupied
+    grid cell (binary 3x3 weights, occupied-cell frame — semantics
+    documented in index.getis_ord_gi_star). The oracle recomputes the
+    histogram, the Chebyshev-ring contribution join and the z formula
+    with identical double op order."""
+    from geoengine.index import getis_ord_gi_star
+
+    pts = datasets.event_points(spark, sf_dir)
+    out = getis_ord_gi_star(pts, HOTSPOT_HB, ring=HOTSPOT_RING)
+    return out.select(
+        "ix", "iy", "n_points", "sum_x", "w",
+        F.round("gi_z", 6).alias("gi_z"),
+    )
+
+
+def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call EMBEDDING corpus dedup (similarity.dedup_embeddings —
+    the semantic arm, next to dedup_documents and dedup_images): exact
+    suffix-norm cosine pairs (recall 1.0 by mathematics) -> connected
+    components -> keeper. The oracle closes the all-pairs cosine>=0.95
+    graph with a recursive CTE, so chain merging AND the keeper rule are
+    certified on a third, independent pair graph."""
+    from geoengine.similarity import dedup_embeddings, hashed_tf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = hashed_tf_vectors(docs)
+    out = dedup_embeddings(vecs, 0.95, id_col="doc")
+    return out.select(
+        F.col("doc").alias("doc_id"), "cluster_id", "is_keeper"
+    )
+
+
 def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18: recordCount surface (DataStore.scala:11) over both point tables."""
     c = datasets.customer_points(spark, sf_dir).count()
@@ -1360,7 +1433,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
     "geofence_visits": q_geofence_visits,
+    "co_location": q_co_location,
+    "hotspot_cells": q_hotspot_cells,
     "dedup_images": q_dedup_images,
+    "dedup_embeddings": q_dedup_embeddings,
     "radius_per_row": q_radius_per_row,
     # rotated back in (last driver row r03)
     "radius_pairs_miles": q_radius_pairs_miles,
@@ -1379,9 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     # core engine + pipeline surface (singly- or recently-certified kept in)
     "radius_pairs": q_radius_pairs,
-    "radius_counts": q_radius_counts,
     "knn": q_knn,
-    "search_topk": q_search_topk,
     "knn_rings": q_knn_rings,
     "radius_salted": q_radius_salted,
     "radius_bucketed": q_radius_bucketed,
@@ -1390,7 +1464,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
-    "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
     "image_near_dup": q_image_near_dup,
     "radius_pairs_prefix": q_radius_pairs_prefix,
@@ -1414,6 +1487,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_per_user": q_latest_per_user,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
+    "radius_counts": q_radius_counts,
+    "search_topk": q_search_topk,
+    "images_psnr": q_images_psnr,
     "tile_assign": q_tile_assign,
     "tile_rollup": q_tile_rollup,
     "cell_pyramid": q_cell_pyramid,
@@ -2096,6 +2172,101 @@ def oracle_sql() -> dict[str, str]:
                                            ELSE i END) AS cluster_id,
                    (i % 5 <> 3) AS is_keeper
             FROM range(0, 600) t(i)
+        """,
+        # brute spatio-temporal self-join: certifies the engine's
+        # (cell, time-bucket) candidate coverage is complete. dist at 3dp:
+        # acos near c~1 amplifies 1-ulp cross-engine trig differences to
+        # ~3e-11 km, which at 62k rows makes 6dp boundary flips likely
+        # (q_co_location docstring)
+        "co_location": f"""
+            WITH p AS (SELECT event_id AS id, user_id, epoch_us(ts) AS us,
+                              {_E_LAT} AS lat, {_E_LON} AS lon
+                       FROM events),
+            cand AS (
+                SELECT a.user_id AS user1, a.id AS id1,
+                       b.user_id AS user2, b.id AS id2,
+                       {exprs.sql_dist_km('a.lat', 'a.lon', 'b.lat', 'b.lon')}
+                           AS d,
+                       abs(b.us - a.us) AS dt_us
+                FROM p a JOIN p b
+                  ON a.id < b.id
+                 AND a.user_id <> b.user_id
+                 AND b.us BETWEEN a.us - {int(COLOC_TAU_S * 1e6)}
+                              AND a.us + {int(COLOC_TAU_S * 1e6)}
+            )
+            SELECT user1, id1, user2, id2,
+                   round(d, 3) AS dist_km,
+                   round(CAST(dt_us AS DOUBLE) / 1000000.0e0, 6) AS dt_s
+            FROM cand WHERE d <= {_D(COLOC_RADIUS_KM)}
+        """,
+        # Getis-Ord Gi*: identical histogram, Chebyshev contribution join
+        # and double op order (mean/S/denominator spelled exactly as
+        # index.getis_ord_gi_star builds its Columns)
+        "hotspot_cells": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events),
+            cells AS (
+                SELECT {exprs.sql_grid_ix('lon', HOTSPOT_HB)} AS ix,
+                       {exprs.sql_grid_iy('lat', HOTSPOT_HB)} AS iy,
+                       count(*) AS n_points
+                FROM pts GROUP BY 1, 2
+            ),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS nc,
+                          CAST(sum(n_points) AS DOUBLE) AS tot,
+                          CAST(sum(n_points * n_points) AS DOUBLE) AS ssq
+                   FROM cells),
+            contrib AS (
+                SELECT (((ix + dx) % {1 << HOTSPOT_HB}) + {1 << HOTSPOT_HB})
+                           % {1 << HOTSPOT_HB} AS cix,
+                       iy + dy AS ciy, n_points
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dxs(dx),
+                     (VALUES (-1), (0), (1)) dys(dy)
+                WHERE iy + dy >= 0 AND iy + dy < {1 << HOTSPOT_HB}
+            ),
+            nb AS (SELECT cix, ciy, sum(n_points) AS sum_x,
+                          count(*) AS w
+                   FROM contrib GROUP BY 1, 2)
+            SELECT ix, iy, n_points, CAST(sum_x AS BIGINT) AS sum_x, w,
+                   round(CASE WHEN s * sqrt((nc * wd - wd * wd) / (nc - 1.0e0))
+                                   > 0.0e0
+                              THEN (CAST(sum_x AS DOUBLE) - tot / nc * wd)
+                                   / (s * sqrt((nc * wd - wd * wd)
+                                               / (nc - 1.0e0)))
+                         END, 6) AS gi_z
+            FROM (
+                SELECT c.ix, c.iy, c.n_points, nb.sum_x,
+                       nb.w, CAST(nb.w AS DOUBLE) AS wd,
+                       st.nc, st.tot,
+                       sqrt(st.ssq / st.nc - (st.tot / st.nc)
+                            * (st.tot / st.nc)) AS s
+                FROM cells c
+                JOIN nb ON c.ix = nb.cix AND c.iy = nb.ciy
+                CROSS JOIN st
+            )
+        """,
+        # transitive closure of the all-pairs cosine>=0.95 graph — the
+        # third independent pair graph the cluster/keeper machinery is
+        # certified on (word-Jaccard text, phash image, cosine embedding)
+        "dedup_embeddings": f"""
+            WITH RECURSIVE v AS ({sql_hashed_tf()}),
+            p AS (
+              SELECT a.doc AS doc1, b.doc AS doc2,
+                     {dot_qe.replace('q.embedding', 'a.embedding').replace('e.embedding', 'b.embedding')}
+                     / ({sq_norm.format(v='a.embedding')}
+                        * {sq_norm.format(v='b.embedding')}) AS cosine
+              FROM v a JOIN v b ON a.doc < b.doc
+            ),
+            good AS (SELECT doc1, doc2 FROM p WHERE cosine >= 0.95e0),
+            edges(a, b) AS (SELECT doc1, doc2 FROM good
+                            UNION ALL SELECT doc2, doc1 FROM good),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id,
+                   (node = min(label)) AS is_keeper
+            FROM walk GROUP BY node
         """,
         "radius_counts": f"""
             {_SQL_POINTS}

@@ -300,3 +300,91 @@ def radius_join_pairs_bucketed(
         .withColumn("distance", exprs.km_as_unit(F.col("distance_km"), unit_expr))
         .drop("gkey")
     )
+
+
+def getis_ord_gi_star(
+    points: DataFrame,
+    half_bits: int,
+    ring: int = 1,
+    lat: str = "latitude",
+    lon: str = "longitude",
+) -> DataFrame:
+    """Spatial hot-spot detection — Getis-Ord Gi* z-scores per occupied
+    grid cell, with binary weights over the (2*ring+1)^2 Chebyshev
+    neighborhood (the classic hot-spot-analysis statistic).
+
+    Frame semantics (documented variant): the study frame is the set of
+    OCCUPIED cells — x_j are per-cell point counts, the global mean/std
+    and the neighborhood weight count W_i range over occupied cells only
+    (an absent cell contributes neither weight nor count). z-scores are
+    therefore relative to the occupied-cell count distribution; with a
+    mostly-empty grid this flags "hot among occupied", which is the
+    useful reading for sparse point corpora. Longitude wraps modulo the
+    grid (antimeridian-continuous); latitude neighbors past the pole rows
+    are simply absent.
+
+    Output: (ix, iy, n_points, sum_x, w, gi_z). ``gi_z`` is NULL when the
+    statistic is undefined: a single-cell frame, zero variance, or
+    W == N (the denominator ``S*sqrt((N*W - W^2)/(N-1))`` is 0).
+
+    100-TB posture: one groupBy to the cell histogram (map-side combine),
+    one (2*ring+1)^2 explode + groupBy over CELLS (not points), one
+    broadcast of a 1-row global-stats frame — cost scales with occupied
+    cells, not input rows.
+    """
+    n = 1 << half_bits
+    cells = (
+        validate_points(points, lat, lon)
+        .select(
+            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
+            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    stats = cells.agg(
+        F.count("*").alias("_n_cells"),
+        F.sum("n_points").alias("_total"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
+    )
+    # every occupied cell contributes its count to each center position in
+    # its Chebyshev ring (dx wraps, dy clamps by dropping off-grid rows);
+    # joining the contributions back to the occupied cells keeps exactly
+    # the frame members as centers
+    offs = list(range(-ring, ring + 1))
+    contrib = (
+        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .select(
+            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
+            (F.col("iy") + F.col("_dy")).alias("ciy"),
+            "n_points",
+        )
+        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
+        .groupBy("cix", "ciy")
+        .agg(
+            F.sum("n_points").alias("sum_x"),
+            F.count("*").alias("w"),
+        )
+    )
+    out = (
+        cells.join(
+            contrib,
+            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
+        )
+        .drop("cix", "ciy")
+        .crossJoin(F.broadcast(stats))
+    )
+    nn = F.col("_n_cells").cast("double")
+    w = F.col("w").cast("double")
+    mean = F.col("_total").cast("double") / nn
+    s = F.sqrt(F.col("_sumsq").cast("double") / nn - mean * mean)
+    denom = s * F.sqrt((nn * w - w * w) / (nn - 1.0))
+    z = (F.col("sum_x").cast("double") - mean * w) / denom
+    # nested whens: ANSI mode raises on the /(nn-1) divide for a
+    # single-cell frame, and conditional branches are only evaluated when
+    # taken — the outer guard must fire before denom is ever computed
+    return out.select(
+        "ix", "iy", "n_points", "sum_x", "w",
+        F.when(nn > 1.0, F.when(denom > 0.0, z)).alias("gi_z"),
+    )

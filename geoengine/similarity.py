@@ -622,3 +622,32 @@ def cosine_topk_lsh(
         .where(F.col("sim_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "sim_rank")
     )
+
+
+def dedup_embeddings(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keeper_order: list | None = None,
+    max_iter: int = 30,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """One-call EMBEDDING corpus dedup — the semantic arm of the dedup
+    suite, twin of clusters.dedup_documents / images.dedup_images:
+    exact cosine near-dup pairs (cosine_near_dup_exact — the provably
+    complete suffix-norm prefilter, recall 1.0 by mathematics) ->
+    connected components -> deterministic keeper. Returns vectors +
+    (cluster_id, is_keeper); ``.where("is_keeper")`` is the semantically
+    deduplicated corpus. Every stage is the corresponding certified
+    operator, just wired together."""
+    from .clusters import dedup_clusters
+
+    pairs = cosine_near_dup_exact(
+        vectors, threshold, id_col=id_col, vec_col=vec_col
+    )
+    return dedup_clusters(
+        vectors, pairs, id_col=id_col, id1="doc1", id2="doc2",
+        keeper_order=keeper_order, max_iter=max_iter,
+        cache_registry=cache_registry,
+    )

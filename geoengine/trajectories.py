@@ -174,6 +174,106 @@ def trajectory_stats(
     )
 
 
+def co_location_pairs(
+    points: DataFrame,
+    radius_km: float,
+    max_dt_s: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    half_bits: int | None = None,
+) -> DataFrame:
+    """Spatio-temporal co-location (contact) join: every pair of fixes
+    from DIFFERENT entities within ``radius_km`` great-circle km AND
+    ``max_dt_s`` seconds of each other — the contact-tracing /
+    co-movement primitive.
+
+    Output, one row per qualifying unordered fix pair: ``entity_a, seq_a,
+    entity_b, seq_b`` (side *a* is the earlier time bucket, or the smaller
+    seq within a bucket — a deterministic orientation), ``dist_km``,
+    ``dt_s`` (absolute elapsed seconds, exact micros arithmetic).
+
+    Plan — a single int64 equi-join, NEVER all-pairs, the same shape as
+    the radius join (join.py) with time folded into the key:
+
+    - every fix gets its time bucket ``tb = floor(us / max_dt_s)``; a pair
+      within ``max_dt_s`` differs by at most one bucket, so the probe side
+      explodes to ``{{tb, tb-1}}`` and the join matches build ``tb``;
+    - the probe side also explodes to the covering grid cells of its
+      radius circle (join.explode_covering_cells — coverage-safe at the
+      worst-case latitude), the build side carries its single cell;
+    - join key = (cell, bucket); each unordered pair survives exactly ONCE
+      by construction: probe-bucket > build-bucket keeps cross-bucket
+      pairs in one orientation, probe-seq > build-seq orients same-bucket
+      pairs — no distinct needed;
+    - exact |dt| and great-circle refinements ride the join, codegen'd.
+
+    100-TB posture: shuffle is keyed on (cell, bucket) — hot places at hot
+    times are real skew, so AQE skew-join applies; fanout is the covering
+    grid (~9-25 cells) x 2 buckets on the probe side only. Entities
+    co-located with THEMSELVES (consecutive own fixes) are excluded.
+    """
+    from .join import explode_covering_cells, pick_half_bits, with_grid_cell
+
+    hb = pick_half_bits(radius_km) if half_bits is None else half_bits
+    us = _epoch_us(F.col(ts_col))
+    tau_us = int(float(max_dt_s) * 1_000_000)
+    base = points.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(seq_col).alias("_seq"),
+        F.col(lat_col).alias("latitude"),
+        F.col(lon_col).alias("longitude"),
+        us.alias("_us"),
+        F.floor(us / F.lit(tau_us)).alias("_tb"),
+    )
+    build = with_grid_cell(base, hb).select(
+        F.col("_ent").alias("ent_a"), F.col("_seq").alias("seq_a"),
+        F.col("latitude").alias("_lat_a"), F.col("longitude").alias("_lon_a"),
+        F.col("_us").alias("_us_a"), F.col("_tb").alias("_tb_a"), "gkey",
+    )
+    probe = (
+        explode_covering_cells(base, radius_km, hb)
+        .withColumn("_tkey", F.explode(F.array(F.col("_tb"),
+                                               F.col("_tb") - 1)))
+        .select(
+            F.col("_ent").alias("ent_b"), F.col("_seq").alias("seq_b"),
+            F.col("latitude").alias("_lat_b"),
+            F.col("longitude").alias("_lon_b"),
+            F.col("_us").alias("_us_b"), F.col("_tb").alias("_tb_b"),
+            "gkey", "_tkey",
+        )
+    )
+    joined = build.join(
+        probe,
+        (build["gkey"] == probe["gkey"]) & (build["_tb_a"] == probe["_tkey"]),
+    )
+    d = exprs.dist_km(
+        F.col("_lat_a"), F.col("_lon_a"), F.col("_lat_b"), F.col("_lon_b")
+    )
+    dt_us = F.abs(F.col("_us_b") - F.col("_us_a"))
+    return (
+        joined.where(
+            (
+                (F.col("_tb_b") > F.col("_tb_a"))
+                | (
+                    (F.col("_tb_b") == F.col("_tb_a"))
+                    & (F.col("seq_b") > F.col("seq_a"))
+                )
+            )
+            & (F.col("ent_a") != F.col("ent_b"))
+            & (dt_us <= F.lit(tau_us))
+            & (d <= F.lit(float(radius_km)))
+        )
+        .select(
+            "ent_a", "seq_a", "ent_b", "seq_b",
+            d.alias("dist_km"),
+            (dt_us.cast("double") / 1.0e6).alias("dt_s"),
+        )
+    )
+
+
 def geofence_visits(
     points: DataFrame,
     polygons: DataFrame,

@@ -230,3 +230,105 @@ class TestDedupImages:
             want = i - 1 if i % 5 == 3 else i
             assert got[iid]["cluster_id"] == f"img{want:010d}", iid
             assert got[iid]["is_keeper"] is (i % 5 != 3)
+
+
+class TestCoLocation:
+    def _pts(self, spark, rows):
+        return _points(spark, rows)
+
+    def test_semantics_handcrafted(self, utc):
+        from geoengine.trajectories import co_location_pairs
+
+        # tau=60s, radius=200km. lon 1 deg at equator ~ 111 km
+        pts = _points(utc, [
+            (1, 10, 0.0, 0.0, 0.0),
+            (2, 20, 30.0, 0.0, 1.0),    # ~111 km, 30 s -> pair with 1
+            (3, 30, 300.0, 0.0, 1.0),   # close in space, 300 s -> out
+            (4, 40, 10.0, 0.0, 50.0),   # close in time, ~5560 km -> out
+            (5, 10, 20.0, 0.0, 0.5),    # same entity as 1 -> excluded
+            (6, 50, 60.0, 0.0, 0.2),    # exactly tau from fix 1 -> in (<=)
+        ])
+        got = sorted(
+            (r["seq_a"], r["seq_b"])
+            for r in co_location_pairs(pts, 200.0, 60.0).collect()
+        )
+        # expected: (1,2), (1,6), (2,6) [30s apart, ~89km], (2,5), (5,6)
+        # (5 is entity 10 — only its pair with 1 is excluded)
+        assert got == [(1, 2), (1, 6), (2, 5), (2, 6), (5, 6)]
+
+    def test_bucket_boundary_pair_found_once(self, utc):
+        from geoengine.trajectories import co_location_pairs
+
+        # tau=60: fixes at t=59 and t=61 sit in DIFFERENT buckets, 2 s
+        # apart -> must be found, exactly once
+        pts = _points(utc, [
+            (1, 1, 59.0, 0.0, 0.0),
+            (2, 2, 61.0, 0.0, 0.1),
+        ])
+        rows = co_location_pairs(pts, 50.0, 60.0).collect()
+        assert len(rows) == 1
+        assert rows[0]["dt_s"] == 2.0
+
+    def test_matches_brute_force(self, utc):
+        import numpy as np
+
+        from geoengine.trajectories import co_location_pairs
+
+        rng = np.random.default_rng(7)
+        n = 250
+        ent = rng.integers(0, 25, n)
+        t = rng.uniform(0, 7200, n)
+        lat = rng.uniform(-80, 80, n)
+        lon = rng.uniform(-179, 179, n)
+        pts = _points(utc, [
+            (i, int(ent[i]), float(round(t[i], 3)), float(lat[i]),
+             float(lon[i]))
+            for i in range(n)
+        ])
+        got = sorted(
+            (min(r["seq_a"], r["seq_b"]), max(r["seq_a"], r["seq_b"]))
+            for r in co_location_pairs(pts, 400.0, 600.0).collect()
+        )
+        want = []
+        tt = np.round(t, 3)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ent[i] == ent[j]:
+                    continue
+                # exact micros like the engine (round to ms first)
+                if abs(int(tt[i] * 1e6) - int(tt[j] * 1e6)) > 600_000_000:
+                    continue
+                if _dist_km(lat[i], lon[i], lat[j], lon[j]) <= 400.0:
+                    want.append((i, j))
+        assert got == sorted(want)
+
+
+class TestDedupEmbeddings:
+    def test_identical_vector_groups(self, spark):
+        from geoengine.similarity import dedup_embeddings
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),  # dup pair
+            (3, [0.0, 1.0, 0.0]),                          # singleton
+            (4, [0.0, 0.0, 1.0]), (5, [0.0, 0.0, 2.0]),   # colinear dup
+        ]
+        df = spark.createDataFrame(
+            rows, schema="vec_id long, embedding array<double>"
+        )
+        out = {r["vec_id"]: r for r in dedup_embeddings(df, 0.99).collect()}
+        assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
+        assert out[3]["cluster_id"] == 3
+        assert out[4]["cluster_id"] == 4 and out[5]["cluster_id"] == 4
+        keepers = sorted(k for k, r in out.items() if r["is_keeper"])
+        assert keepers == [1, 3, 4]
+
+
+class TestCoLocationPlan:
+    def test_no_cartesian(self, utc):
+        from geoengine.trajectories import co_location_pairs
+
+        pts = _points(utc, [(1, 1, 0.0, 0.0, 0.0), (2, 2, 1.0, 0.0, 0.1)])
+        plan = co_location_pairs(pts, 100.0, 60.0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
