@@ -1319,6 +1319,24 @@ def q_geofence_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, render)
 
 
+OD_ZOOM = 4  # coarse 16x16 tile grid -> real flow aggregation at gate sf
+
+
+def q_tile_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: consecutive-fix tile transitions
+    per user rolled up to (from_tile, to_tile) movement counts + distinct
+    movers (trajectories.tile_flows). Pure integer outputs — exact parity
+    by construction; ordering ties broken by event id on both sides."""
+    from geoengine.trajectories import tile_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = datasets.with_point(ev, "event_id", 37, 91).select(
+        F.col("event_id").alias("id"), "user_id", "ts",
+        "latitude", "longitude",
+    )
+    return tile_flows(pts, OD_ZOOM)
+
+
 def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call IMAGE corpus dedup (images.dedup_images — the multimodal
     twin of dedup_documents): phash pairs -> connected components ->
@@ -1435,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geofence_visits": q_geofence_visits,
     "co_location": q_co_location,
     "hotspot_cells": q_hotspot_cells,
+    "tile_flows": q_tile_flows,
     "dedup_images": q_dedup_images,
     "dedup_embeddings": q_dedup_embeddings,
     "radius_per_row": q_radius_per_row,
@@ -1464,7 +1483,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
-    "image_tiles": q_image_tiles,
     "image_near_dup": q_image_near_dup,
     "radius_pairs_prefix": q_radius_pairs_prefix,
     "streaming_tiles": q_streaming_tiles,
@@ -1490,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_counts": q_radius_counts,
     "search_topk": q_search_topk,
     "images_psnr": q_images_psnr,
+    "image_tiles": q_image_tiles,
     "tile_assign": q_tile_assign,
     "tile_rollup": q_tile_rollup,
     "cell_pyramid": q_cell_pyramid,
@@ -2162,6 +2181,26 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "geofence_visits": _sql_geofence(),
+        # OD flow matrix: all-integer outputs, identical lag window and
+        # tile arithmetic -> exact parity
+        "tile_flows": f"""
+            WITH {_sql_trajectory_points()},
+            t AS (SELECT user_id, ts, id,
+                         {exprs.sql_tile_x('lon', OD_ZOOM)} AS tx,
+                         {exprs.sql_tile_y('lat', OD_ZOOM)} AS ty
+                  FROM p),
+            m AS (SELECT user_id,
+                         lag(tx) OVER win AS fx, lag(ty) OVER win AS fy,
+                         tx, ty
+                  FROM t
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, id))
+            SELECT fx AS from_x, fy AS from_y, tx AS to_x, ty AS to_y,
+                   count(*) AS n_moves,
+                   count(DISTINCT user_id) AS n_entities
+            FROM m
+            WHERE fx IS NOT NULL AND (fx <> tx OR fy <> ty)
+            GROUP BY 1, 2, 3, 4
+        """,
         # clusters and keepers derived from the image fixture's index
         # arithmetic: i%5==3 is a noised twin of i-1 (disjoint pair
         # components — chain MERGING is certified by dedup_clusters; this

@@ -118,10 +118,24 @@ def points_in_multipolygons(
     Plan: bbox of ALL rings -> covering cells (explode) | point -> single
     cell -> equi-join on cell -> exact ray-cast UDF on survivors only,
     batch-grouped by poly_id.
+
+    The covering join ships a SLIM (poly_id, geom_key, cell) frame; the
+    ring-vertex arrays attach afterwards via a second join keyed on the
+    content-derived geom_key — one row per DISTINCT geometry, not one per
+    covering cell. Wide polygons cover thousands of cells each, so
+    carrying the vertex arrays on the covering rows multiplied the
+    broadcast/shuffle payload by the covering fanout (measured 22 MB vs
+    3 MB for 6 wide polygons) and serialized a parallelism-independent
+    broadcast-build term into every run.
     """
-    cov = polygon_covering_cells(polygons, half_bits, poly_id, rings_col)
+    cov = polygon_covering_cells(
+        polygons, half_bits, poly_id, rings_col
+    ).select(poly_id, "_geom_key", "gkey")
+    geom = _prepped_polygons(polygons, poly_id, rings_col).select(
+        "_geom_key", "_wrap", "_rlat", "_rlon"
+    ).dropDuplicates(["_geom_key"])
     pts = with_grid_cell(points, half_bits)
-    cand = pts.join(cov, "gkey")
+    cand = pts.join(cov, "gkey").join(F.broadcast(geom), "_geom_key")
     hit = cand.where(
         _pip_udf()(
             F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
@@ -131,20 +145,15 @@ def points_in_multipolygons(
     return hit.select(F.col(point_id).alias("point_id"), poly_id, *keep)
 
 
-def polygon_covering_cells(
+def _prepped_polygons(
     polygons: DataFrame,
-    half_bits: int,
     poly_id: str = "poly_id",
     rings_col: str = "rings",
 ) -> DataFrame:
-    """The polygon side of the PIP prefilter join: one row per (polygon,
-    covering grid cell), plus the per-polygon ring arrays and batch-group
-    key the exact UDF consumes. Public so tests can pin the covering-set
-    ECONOMY (e.g. a seam-crossing polygon must yield a seam-local set, not
-    a near-world one) against the engine's ACTUAL plan, not a re-derivation.
-    """
+    """Per-polygon preprocessing shared by the covering-cell explode and
+    the geometry-attach join: content-derived batch-group key, the
+    antimeridian wrap flag, shifted-frame ring arrays, and the bbox."""
     flat = f"flatten({rings_col})"
-    n = 1 << half_bits
     polys = polygons.select(
         poly_id,
         # content-derived batch-group key, computed ONCE per polygon row on
@@ -184,6 +193,26 @@ def polygon_covering_cells(
         F.expr(f"array_min({flat_sh})").alias("_lon0"),
         F.expr(f"array_max({flat_sh})").alias("_lon1"),
     )
+    return polys
+
+
+def polygon_covering_cells(
+    polygons: DataFrame,
+    half_bits: int,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """The polygon side of the PIP prefilter join: one row per (polygon,
+    covering grid cell), plus the per-polygon ring arrays and batch-group
+    key the exact UDF consumes. Public so tests can pin the covering-set
+    ECONOMY (e.g. a seam-crossing polygon must yield a seam-local set, not
+    a near-world one) against the engine's ACTUAL plan, not a re-derivation.
+    (The engine's own join path projects this down to (poly_id, geom_key,
+    gkey) and re-attaches the ring arrays per distinct geometry — see
+    points_in_multipolygons.)
+    """
+    n = 1 << half_bits
+    polys = _prepped_polygons(polygons, poly_id, rings_col)
     # x covering range: in the shifted frame the raw (unclamped) index can
     # reach [n, 3n/2); pmod wraps it back onto the grid the points use.
     # Non-wrapped polygons keep the exact old clamped semantics.

@@ -174,6 +174,49 @@ def trajectory_stats(
     )
 
 
+def tile_flows(
+    points: DataFrame,
+    zoom: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    include_self: bool = False,
+) -> DataFrame:
+    """Origin-destination flow matrix at slippy-tile resolution: each
+    entity's consecutive-fix transitions rolled up to (from_tile,
+    to_tile) counts — the transport-analytics OD primitive.
+
+    Output: (from_x, from_y, to_x, to_y, n_moves, n_entities). Self-loops
+    (consecutive fixes in the same tile) are excluded unless
+    ``include_self`` — an OD matrix usually wants movements, not dwell.
+
+    Same one-window-shuffle shape as segment_metrics: lag over the
+    entity's (ts, seq) sort, then a map-side-combinable groupBy on the
+    tile pair. Pure Column codegen end to end.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    tx = exprs.tile_x(F.col(lon_col), zoom)
+    ty = exprs.tile_y(F.col(lat_col), zoom)
+    moves = points.select(
+        F.col(entity_col).alias("_ent"),
+        F.lag(tx).over(w).alias("from_x"),
+        F.lag(ty).over(w).alias("from_y"),
+        tx.alias("to_x"),
+        ty.alias("to_y"),
+    ).where(F.col("from_x").isNotNull())
+    if not include_self:
+        moves = moves.where(
+            (F.col("from_x") != F.col("to_x"))
+            | (F.col("from_y") != F.col("to_y"))
+        )
+    return moves.groupBy("from_x", "from_y", "to_x", "to_y").agg(
+        F.count("*").alias("n_moves"),
+        F.countDistinct("_ent").alias("n_entities"),
+    )
+
+
 def co_location_pairs(
     points: DataFrame,
     radius_km: float,

@@ -332,3 +332,34 @@ class TestCoLocationPlan:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTileFlows:
+    def test_transitions_and_rollup(self, utc):
+        from geoengine.trajectories import tile_flows
+
+        # zoom 1 -> 2x2 tiles (x from lon halves, y from Mercator lat
+        # halves). Entity 1: west->east->east (one move then a self-loop);
+        # entity 2 makes the same west->east move.
+        pts = _points(utc, [
+            (1, 1, 0.0, 0.0, -90.0),   # tile x=0
+            (2, 1, 10.0, 0.0, 90.0),   # tile x=1
+            (3, 1, 20.0, 0.0, 91.0),   # tile x=1 (self-loop, excluded)
+            (4, 2, 0.0, 0.0, -91.0),
+            (5, 2, 10.0, 0.0, 95.0),
+        ])
+        got = tile_flows(pts, 1).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["from_x"], r["to_x"]) == (0, 1)
+        assert r["n_moves"] == 2 and r["n_entities"] == 2
+
+    def test_include_self(self, utc):
+        from geoengine.trajectories import tile_flows
+
+        pts = _points(utc, [
+            (1, 1, 0.0, 0.0, 90.0),
+            (2, 1, 10.0, 0.0, 91.0),
+        ])
+        out = tile_flows(pts, 1, include_self=True).collect()
+        assert len(out) == 1 and out[0]["from_x"] == out[0]["to_x"] == 1
