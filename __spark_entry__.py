@@ -1319,6 +1319,43 @@ def q_geofence_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, render)
 
 
+def q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence ENTER/EXIT detection: the events table replayed
+    in (ts, seq) order through the stream-static PIP membership join +
+    applyInPandasWithState (per-entity inside-set diffing). The oracle
+    derives the exact expected event stream from the BATCH visit islands
+    (enter at each visit's first fix; exit at its last fix iff a later
+    fix exists), so the streaming operator is certified equal to the
+    certified batch semantics."""
+    from geoengine.fixtures import polygons_table
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_geofence_events,
+    )
+
+    def build():
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream, d = replay_parquet_stream(spark, batch, n_files=4,
+                                          order_col="ts")
+        pts = datasets.with_point(stream, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        polys = polygons_table(
+            spark, GEOFENCE_N, seed=GEOFENCE_SEED,
+            half_width_scale=GEOFENCE_SCALE,
+        ).withColumn("rings", F.array("ring")).drop("ring")
+        out = streaming_geofence_events(pts, polys)
+        table = run_stream_to_memory(out, "geoeng_geofence_events",
+                                     "append", d)
+        return table.select(
+            F.col("entity").alias("user_id"), "poly_id", "event", "event_us"
+        )
+
+    return _with_utc(spark, build)
+
+
 OD_ZOOM = 4  # coarse 16x16 tile grid -> real flow aggregation at gate sf
 
 
@@ -1454,6 +1491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "co_location": q_co_location,
     "hotspot_cells": q_hotspot_cells,
     "tile_flows": q_tile_flows,
+    "streaming_geofence": q_streaming_geofence,
     "dedup_images": q_dedup_images,
     "dedup_embeddings": q_dedup_embeddings,
     "radius_per_row": q_radius_per_row,
@@ -1496,7 +1534,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "audio_features": q_audio_features,
-    "token_regex": q_token_regex,
     "frame_sample": q_frame_sample,
     "stratified_sample": q_stratified_sample,
     # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
@@ -1506,6 +1543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "radius_counts": q_radius_counts,
+    "token_regex": q_token_regex,
     "search_topk": q_search_topk,
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
@@ -1671,11 +1709,11 @@ def _sql_pip_multi() -> str:
     """
 
 
-def _sql_geofence() -> str:
-    """DuckDB twin of geofence_visits: per-point even-odd membership
-    (vertices inlined, identical fixture arithmetic) + the same
-    gaps-and-islands sessionization (island key = global rank minus
-    within-fence rank), enter/exit rendered as epoch micros."""
+def _sql_geofence_core() -> str:
+    """Shared CTE prefix for the geofence oracles: per-point even-odd
+    membership (vertices inlined, identical fixture arithmetic) +
+    gaps-and-islands ranks (island key = global rank minus within-fence
+    rank)."""
     from geoengine.fixtures import polygon_rings
 
     edges = []
@@ -1688,9 +1726,9 @@ def _sql_geofence() -> str:
             edges.append(f"('{pid}', {_D(yj)}, {_D(xj)}, {_D(yk)}, {_D(xk)})")
     vals = ", ".join(edges)
     return f"""
-        WITH p AS (SELECT event_id AS id, user_id, ts,
-                          {_E_LAT} AS lat, {_E_LON} AS lon
-                   FROM events),
+        p AS (SELECT event_id AS id, user_id, ts,
+                     {_E_LAT} AS lat, {_E_LON} AS lon
+              FROM events),
         rn AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                             ORDER BY ts, id) AS trn
                FROM p),
@@ -1708,11 +1746,43 @@ def _sql_geofence() -> str:
         isl AS (SELECT *, trn - row_number() OVER (PARTITION BY user_id, pid
                                                    ORDER BY trn) AS grp
                 FROM hits)
+    """
+
+
+def _sql_geofence() -> str:
+    """DuckDB twin of geofence_visits: membership + sessionization,
+    enter/exit rendered as epoch micros."""
+    return f"""
+        WITH {_sql_geofence_core()}
         SELECT user_id, pid AS poly_id,
                epoch_us(min(ts)) AS enter_us,
                epoch_us(max(ts)) AS exit_us,
                count(*) AS n_events
         FROM isl GROUP BY user_id, pid, grp
+    """
+
+
+def _sql_geofence_events() -> str:
+    """DuckDB twin of streaming_geofence_events: every visit opens with
+    an 'enter' at its first member fix; a visit closes with an 'exit'
+    (stamped at its LAST member fix) iff ANY later fix of that user
+    exists — the trailing open memberships never emit one (the streaming
+    operator's documented contract)."""
+    return f"""
+        WITH {_sql_geofence_core()},
+        isl2 AS (SELECT user_id, pid, grp,
+                        min(ts) AS enter_ts, max(ts) AS exit_ts,
+                        max(trn) AS last_trn
+                 FROM isl GROUP BY user_id, pid, grp),
+        mx AS (SELECT user_id, max(trn) AS max_trn FROM rn GROUP BY user_id)
+        SELECT user_id, pid AS poly_id, 'enter' AS event,
+               epoch_us(enter_ts) AS event_us
+        FROM isl2
+        UNION ALL
+        SELECT i.user_id, i.pid AS poly_id, 'exit' AS event,
+               epoch_us(i.exit_ts) AS event_us
+        FROM isl2 i JOIN mx USING (user_id)
+        WHERE i.last_trn < mx.max_trn
     """
 
 
@@ -2181,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "geofence_visits": _sql_geofence(),
+        "streaming_geofence": _sql_geofence_events(),
         # OD flow matrix: all-integer outputs, identical lag window and
         # tile arithmetic -> exact parity
         "tile_flows": f"""

@@ -83,6 +83,10 @@ def _pip_udf():
         for c in np.unique(codes):
             i = np.nonzero(codes == c)[0]
             first = int(i[0])
+            if rings_lat.iloc[first] is None:
+                # left-joined rows with no candidate polygon (streaming
+                # geofence keeps them so exits still fire): outside
+                continue
             rl = [np.asarray(r, dtype=np.float64)
                   for r in rings_lat.iloc[first]]
             rn = [np.asarray(r, dtype=np.float64)

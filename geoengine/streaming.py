@@ -404,3 +404,106 @@ def streaming_cell_counts(
         )
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def streaming_geofence_events(
+    stream_points: DataFrame,
+    polygons: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    half_bits: int = 8,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """Live geofence ENTER/EXIT event detection over a point-fix stream —
+    the streaming twin of trajectories.geofence_visits: an 'enter' fires
+    on the first fix of a membership run, an 'exit' fires when a later
+    fix arrives outside, stamped with the LAST inside fix's time (the
+    batch visit's exit_ts). Fixes must arrive in (ts, seq) order per
+    entity ACROSS micro-batches (replay_parquet_stream order_col
+    contract); within a batch the state fn sorts.
+
+    Plan: stream-static membership join (the certified PIP covering join,
+    LEFT so fixes in no fence still flow — they are what close visits)
+    -> applyInPandasWithState keyed by entity, state = (current inside
+    set, last fix micros). The trailing open memberships never emit an
+    exit (same contract as sessionize_gap's trailing session). Candidate
+    rows (fix x candidate fence) ride the state shuffle; at very high
+    fence density pre-reduce per fix before the shuffle.
+
+    Output (append): entity, poly_id, event ('enter'|'exit'), event_us.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .pip import _pip_udf, _prepped_polygons, polygon_covering_cells
+
+    cov = polygon_covering_cells(polygons, half_bits, poly_id, rings_col)\
+        .select(poly_id, "_geom_key", "gkey")
+    geom = _prepped_polygons(polygons, poly_id, rings_col).select(
+        "_geom_key", "_wrap", "_rlat", "_rlon"
+    ).dropDuplicates(["_geom_key"])
+    from .join import with_grid_cell
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pts = with_grid_cell(
+        stream_points.select(
+            F.col(entity_col).alias("_ent"),
+            F.col(seq_col).alias("_seq"),
+            us.alias("_us"),
+            "latitude",
+            "longitude",
+        ),
+        half_bits,
+    )
+    cand = (
+        pts.join(F.broadcast(cov), "gkey", "left")
+        .join(F.broadcast(geom), "_geom_key", "left")
+    )
+    rows = cand.select(
+        "_ent", "_seq", "_us",
+        F.col(poly_id).alias("_poly"),
+        _pip_udf()(
+            F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
+            F.col("_rlat"), F.col("_rlon"),
+            F.coalesce(F.col("_wrap"), F.lit(False)),
+        ).alias("_inside"),
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            inside_list, last_us = state.get
+            cur = set(inside_list)
+        else:
+            cur, last_us = set(), -1
+        chunks = [p for p in pdfs]
+        events: list[tuple] = []
+        if chunks:
+            df = pd.concat(chunks)
+            for (us_v, _seq), g in df.groupby(["_us", "_seq"], sort=True):
+                members = set(g.loc[g["_inside"].fillna(False), "_poly"])
+                members.discard(None)
+                for p in sorted(members - cur):
+                    events.append((p, "enter", int(us_v)))
+                for p in sorted(cur - members):
+                    events.append((p, "exit", int(last_us)))
+                cur, last_us = members, int(us_v)
+        state.update((sorted(cur), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]] * len(events),
+                "poly_id": [e[0] for e in events],
+                "event": [e[1] for e in events],
+                "event_us": [e[2] for e in events],
+            }
+        )
+
+    return rows.groupBy(F.col("_ent")).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "entity long, poly_id string, event string, event_us long"
+        ),
+        stateStructType="inside array<string>, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

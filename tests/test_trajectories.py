@@ -363,3 +363,41 @@ class TestTileFlows:
         ])
         out = tile_flows(pts, 1, include_self=True).collect()
         assert len(out) == 1 and out[0]["from_x"] == out[0]["to_x"] == 1
+
+
+class TestStreamingGeofence:
+    def test_events_across_batches(self, utc, fences):
+        """Enter/exit stream equals the batch visit semantics, with the
+        membership state surviving micro-batch boundaries (4 files,
+        ts-ordered replay)."""
+        from geoengine.streaming import (
+            replay_parquet_stream,
+            run_stream_to_memory,
+            streaming_geofence_events,
+        )
+
+        batch = _points(utc, [
+            (1, 1, 0.0, 2.0, 2.0),     # enter A
+            (2, 1, 10.0, 7.0, 7.0),    # still A; enter B
+            (3, 1, 20.0, 50.0, 50.0),  # exit A (ts=10), exit B (ts=10)
+            (4, 1, 30.0, 3.0, 3.0),    # enter A again (trailing: no exit)
+            (5, 2, 5.0, 12.0, 12.0),   # entity 2: enter B only (trailing)
+        ])
+        stream, d = replay_parquet_stream(utc, batch, n_files=4,
+                                          order_col="ts")
+        out = streaming_geofence_events(stream, fences)
+        table = run_stream_to_memory(out, "geofence_events_test",
+                                     "append", d)
+        got = sorted(
+            (r["entity"], r["poly_id"], r["event"], r["event_us"] / 1e6)
+            for r in table.collect()
+        )
+        t0 = T0.timestamp()  # UTC pin active -> epoch of T0
+        assert got == sorted([
+            (1, "A", "enter", t0 + 0.0),
+            (1, "B", "enter", t0 + 10.0),
+            (1, "A", "exit", t0 + 10.0),
+            (1, "B", "exit", t0 + 10.0),
+            (1, "A", "enter", t0 + 30.0),
+            (2, "B", "enter", t0 + 5.0),
+        ])
