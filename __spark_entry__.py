@@ -1374,6 +1374,51 @@ def q_tile_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_flows(pts, OD_ZOOM)
 
 
+def q_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, tile) dwell time: each inter-fix interval attributed to
+    its starting fix's tile (trajectories.dwell_times). Micros are summed
+    as exact integers before one final divide -> bit-exact parity."""
+    from geoengine.trajectories import dwell_times
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        out = dwell_times(pts, OD_ZOOM)
+        return out.select(
+            "user_id", "tile_x", "tile_y",
+            F.round("dwell_s", 6).alias("dwell_s"), "n_intervals",
+        )
+
+    return _with_utc(spark, build)
+
+
+def q_contact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair contact rollup (trajectories.co_location_summary over
+    the certified co_location pair stage): contact count + closest
+    approach per unordered user pair. min_dist at 3dp for the same acos
+    ulp-amplification reason as q_co_location."""
+    from geoengine.trajectories import co_location_pairs, co_location_summary
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        s = co_location_summary(
+            co_location_pairs(pts, COLOC_RADIUS_KM, COLOC_TAU_S)
+        )
+        return s.select(
+            F.col("ent_1").alias("user1"), F.col("ent_2").alias("user2"),
+            "n_contacts", F.round("min_dist_km", 3).alias("min_dist_km"),
+        )
+
+    return _with_utc(spark, build)
+
+
 def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call IMAGE corpus dedup (images.dedup_images — the multimodal
     twin of dedup_documents): phash pairs -> connected components ->
@@ -1492,6 +1537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hotspot_cells": q_hotspot_cells,
     "tile_flows": q_tile_flows,
     "streaming_geofence": q_streaming_geofence,
+    "dwell_times": q_dwell_times,
+    "contact_summary": q_contact_summary,
     "dedup_images": q_dedup_images,
     "dedup_embeddings": q_dedup_embeddings,
     "radius_per_row": q_radius_per_row,
@@ -1533,8 +1580,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
     "stratified_sample": q_stratified_sample,
     # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
     # local-twin coverage every round) --
@@ -1544,6 +1589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "radius_counts": q_radius_counts,
     "token_regex": q_token_regex,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "search_topk": q_search_topk,
     "images_psnr": q_images_psnr,
     "image_tiles": q_image_tiles,
@@ -1783,6 +1830,29 @@ def _sql_geofence_events() -> str:
                epoch_us(i.exit_ts) AS event_us
         FROM isl2 i JOIN mx USING (user_id)
         WHERE i.last_trn < mx.max_trn
+    """
+
+
+def _sql_coloc_cand() -> str:
+    """Shared brute spatio-temporal candidate CTE for the co-location
+    oracles: time-window self-join + exact distance, canonical by id."""
+    return f"""
+        p AS (SELECT event_id AS id, user_id, epoch_us(ts) AS us,
+                     {_E_LAT} AS lat, {_E_LON} AS lon
+              FROM events),
+        cand AS (
+            SELECT a.user_id AS user1, a.id AS id1,
+                   b.user_id AS user2, b.id AS id2,
+                   {exprs.sql_dist_km('a.lat', 'a.lon', 'b.lat', 'b.lon')}
+                       AS d,
+                   abs(b.us - a.us) AS dt_us
+            FROM p a JOIN p b
+              ON a.id < b.id
+             AND a.user_id <> b.user_id
+             AND b.us BETWEEN a.us - {int(COLOC_TAU_S * 1e6)}
+                          AND a.us + {int(COLOC_TAU_S * 1e6)}
+        ),
+        good AS (SELECT * FROM cand WHERE d <= {_D(COLOC_RADIUS_KM)})
     """
 
 
@@ -2289,25 +2359,37 @@ def oracle_sql() -> dict[str, str]:
         # ~3e-11 km, which at 62k rows makes 6dp boundary flips likely
         # (q_co_location docstring)
         "co_location": f"""
-            WITH p AS (SELECT event_id AS id, user_id, epoch_us(ts) AS us,
-                              {_E_LAT} AS lat, {_E_LON} AS lon
-                       FROM events),
-            cand AS (
-                SELECT a.user_id AS user1, a.id AS id1,
-                       b.user_id AS user2, b.id AS id2,
-                       {exprs.sql_dist_km('a.lat', 'a.lon', 'b.lat', 'b.lon')}
-                           AS d,
-                       abs(b.us - a.us) AS dt_us
-                FROM p a JOIN p b
-                  ON a.id < b.id
-                 AND a.user_id <> b.user_id
-                 AND b.us BETWEEN a.us - {int(COLOC_TAU_S * 1e6)}
-                              AND a.us + {int(COLOC_TAU_S * 1e6)}
-            )
+            WITH {_sql_coloc_cand()}
             SELECT user1, id1, user2, id2,
                    round(d, 3) AS dist_km,
                    round(CAST(dt_us AS DOUBLE) / 1000000.0e0, 6) AS dt_s
-            FROM cand WHERE d <= {_D(COLOC_RADIUS_KM)}
+            FROM good
+        """,
+        "contact_summary": f"""
+            WITH {_sql_coloc_cand()}
+            SELECT least(user1, user2) AS user1,
+                   greatest(user1, user2) AS user2,
+                   count(*) AS n_contacts,
+                   round(min(d), 3) AS min_dist_km
+            FROM good GROUP BY 1, 2
+        """,
+        # exact integer-micros dwell sums -> bit-exact across engines
+        "dwell_times": f"""
+            WITH {_sql_trajectory_points()},
+            t AS (SELECT user_id, ts, id,
+                         {exprs.sql_tile_x('lon', OD_ZOOM)} AS tile_x,
+                         {exprs.sql_tile_y('lat', OD_ZOOM)} AS tile_y,
+                         epoch_us(ts) AS us
+                  FROM p),
+            r AS (SELECT user_id, tile_x, tile_y,
+                         lead(us) OVER win - us AS dw
+                  FROM t
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, id))
+            SELECT user_id, tile_x, tile_y,
+                   round(CAST(sum(dw) AS DOUBLE) / 1000000.0e0, 6)
+                       AS dwell_s,
+                   count(*) AS n_intervals
+            FROM r WHERE dw IS NOT NULL GROUP BY 1, 2, 3
         """,
         # Getis-Ord Gi*: identical histogram, Chebyshev contribution join
         # and double op order (mean/S/denominator spelled exactly as

@@ -26,6 +26,14 @@ SESSION time zone. Differences are zone-invariant except across a DST
 transition of the session zone; pin ``spark.sql.session.timeZone`` to UTC
 (as the gate queries do) for fully deterministic output.
 
+Input contract: fixes with NULL timestamps are undefined — Spark windows
+order NULLS FIRST ascending while DuckDB defaults NULLS LAST, so the
+engine and any SQL twin would disagree on where a NULL-ts fix sits in
+the sequence; filter them out upstream. NULL coordinates drop silently
+on the join-based operators (NULL keys never match) and produce NULL
+segments on the window-based ones (explicitly guarded — see
+trajectory_stats).
+
 Scale posture (100 TB of fixes): every operator is pure-Column codegen
 over ONE window shuffle keyed by the entity id — lag, row_number and
 first/last ride the same sort — and rollups are map-side-combinable
@@ -217,6 +225,57 @@ def tile_flows(
     )
 
 
+def dwell_times(
+    points: DataFrame,
+    zoom: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Time spent per (entity, tile): each inter-fix interval is
+    attributed to the tile of the interval's STARTING fix — the entity
+    was last seen there until the next fix arrived. The trailing fix has
+    no interval and contributes nothing (same open-tail contract as the
+    sessionize/geofence ops).
+
+    Output: (entity, tile_x, tile_y, dwell_s, n_intervals). ``dwell_s``
+    sums EXACT integer microseconds before one final divide, so parity
+    holds bit-for-bit at any row count. One window shuffle + one groupBy
+    on (entity, tile) — all-Column codegen.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    us = _epoch_us(F.col(ts_col))
+    rows = points.select(
+        F.col(entity_col).alias("_ent"),
+        exprs.tile_x(F.col(lon_col), zoom).alias("tile_x"),
+        exprs.tile_y(F.col(lat_col), zoom).alias("tile_y"),
+        (F.lead(us).over(w) - us).alias("_dwell_us"),
+    ).where(F.col("_dwell_us").isNotNull())
+    return (
+        rows.groupBy(F.col("_ent").alias(entity_col), "tile_x", "tile_y")
+        .agg(
+            (F.sum("_dwell_us").cast("double") / 1.0e6).alias("dwell_s"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+def co_location_summary(pairs: DataFrame) -> DataFrame:
+    """Entity-pair contact rollup over :func:`co_location_pairs` output:
+    one row per unordered entity pair with the contact count and the
+    closest observed approach. Pair identity is canonicalized by entity
+    id (ent_1 < ent_2), independent of the pair stage's bucket/seq
+    orientation."""
+    e1 = F.least("ent_a", "ent_b").alias("ent_1")
+    e2 = F.greatest("ent_a", "ent_b").alias("ent_2")
+    return pairs.groupBy(e1, e2).agg(
+        F.count("*").alias("n_contacts"),
+        F.min("dist_km").alias("min_dist_km"),
+    )
+
+
 def co_location_pairs(
     points: DataFrame,
     radius_km: float,
@@ -257,9 +316,16 @@ def co_location_pairs(
     times are real skew, so AQE skew-join applies; fanout is the covering
     grid (~9-25 cells) x 2 buckets on the probe side only. Entities
     co-located with THEMSELVES (consecutive own fixes) are excluded.
+    Fixes with NULL coordinates or NULL timestamps drop silently (a NULL
+    cell/bucket key never matches — same contract as the radius join's
+    validate_points filter).
     """
     from .join import explode_covering_cells, pick_half_bits, with_grid_cell
 
+    if not float(radius_km) > 0.0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    if not float(max_dt_s) > 0.0:
+        raise ValueError(f"max_dt_s must be > 0, got {max_dt_s}")
     hb = pick_half_bits(radius_km) if half_bits is None else half_bits
     us = _epoch_us(F.col(ts_col))
     tau_us = int(float(max_dt_s) * 1_000_000)

@@ -401,3 +401,62 @@ class TestStreamingGeofence:
             (1, "A", "enter", t0 + 30.0),
             (2, "B", "enter", t0 + 5.0),
         ])
+
+
+class TestDwellTimes:
+    def test_interval_attribution(self, utc):
+        from geoengine.trajectories import dwell_times
+
+        # zoom 1: lon<0 -> tile x=0, lon>0 -> x=1. Intervals attribute to
+        # the STARTING fix's tile; the trailing fix contributes nothing.
+        pts = _points(utc, [
+            (1, 1, 0.0, 0.0, -90.0),   # west for 10 s
+            (2, 1, 10.0, 0.0, 90.0),   # east for 5 s
+            (3, 1, 15.0, 0.0, 95.0),   # east for 20 s
+            (4, 1, 35.0, 0.0, -95.0),  # trailing (west): no interval
+        ])
+        got = {
+            (r["tile_x"]): (r["dwell_s"], r["n_intervals"])
+            for r in dwell_times(pts, 1).collect()
+        }
+        assert got[0] == (10.0, 1)
+        assert got[1] == (25.0, 2)
+
+    def test_single_fix_entity_absent(self, utc):
+        from geoengine.trajectories import dwell_times
+
+        pts = _points(utc, [(1, 1, 0.0, 0.0, 0.0)])
+        assert dwell_times(pts, 1).count() == 0
+
+
+class TestCoLocationSummary:
+    def test_rollup_and_canonical_pair(self, utc):
+        from geoengine.trajectories import (
+            co_location_pairs,
+            co_location_summary,
+        )
+
+        pts = _points(utc, [
+            (1, 5, 0.0, 0.0, 0.0),
+            (2, 3, 10.0, 0.0, 0.5),   # contact with 1 (entity 3 < 5)
+            (3, 5, 20.0, 0.0, 1.0),   # contact with 2 again
+        ])
+        s = co_location_summary(
+            co_location_pairs(pts, 200.0, 60.0)
+        ).collect()
+        assert len(s) == 1
+        r = s[0]
+        assert (r["ent_1"], r["ent_2"]) == (3, 5)
+        assert r["n_contacts"] == 2
+        assert r["min_dist_km"] == pytest.approx(
+            _dist_km(0.0, 0.5, 0.0, 1.0), rel=1e-12
+        )
+
+    def test_validation(self, utc):
+        from geoengine.trajectories import co_location_pairs
+
+        pts = _points(utc, [(1, 1, 0.0, 0.0, 0.0)])
+        with pytest.raises(ValueError, match="radius_km"):
+            co_location_pairs(pts, 0.0, 60.0)
+        with pytest.raises(ValueError, match="max_dt_s"):
+            co_location_pairs(pts, 10.0, -1.0)
