@@ -34,6 +34,7 @@ from geoengine.session import get_spark  # noqa: E402
 N_FIXES_STATS = 20_000_000
 N_ENTITIES = 500_000
 N_FIXES_FENCE = 4_000_000
+N_FIXES_COLOC = 1_000_000  # ~600-fix time windows at tau=300s, 1 fix/s
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -56,7 +57,11 @@ def force(df) -> None:
 
 def bench_level(cores: int, reps: int) -> dict[str, float]:
     from geoengine.fixtures import polygons_table
-    from geoengine.trajectories import geofence_visits, trajectory_stats
+    from geoengine.trajectories import (
+        co_location_pairs,
+        geofence_visits,
+        trajectory_stats,
+    )
 
     spark = get_spark(f"traj-scale-{cores}", cores=cores,
                       shuffle_partitions=cores)
@@ -71,9 +76,11 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
     fences = polygons_table(
         spark, 6, seed=11, half_width_scale=16.0
     ).withColumn("rings", F.array("ring")).drop("ring")
+    co_src = fixes(spark, N_FIXES_COLOC, 64)
     jobs = {
         "trajectory_stats": lambda: trajectory_stats(st_src),
         "geofence_visits": lambda: geofence_visits(gf_src, fences),
+        "co_location": lambda: co_location_pairs(co_src, 100.0, 300.0),
     }
     for name, fn in jobs.items():
         force(fn())  # warmup (JIT/codegen/python workers)
@@ -104,11 +111,11 @@ def main() -> None:
             res = bench_level(lv, args.reps)
             print(json.dumps({"round": rnd, "cores": lv,
                               "loadavg_start": la, **res}), flush=True)
-            for q in ("trajectory_stats", "geofence_visits"):
+            for q in ("trajectory_stats", "geofence_visits", "co_location"):
                 key = (q, lv)
                 best[key] = min(best.get(key, 1e9), res[q])
     summary = {}
-    for q in ("trajectory_stats", "geofence_visits"):
+    for q in ("trajectory_stats", "geofence_visits", "co_location"):
         row = {str(lv): best[(q, lv)] for lv in levels}
         if 2 in levels and 8 in levels:
             row["eff_2_to_8_raw"] = round(
@@ -121,7 +128,8 @@ def main() -> None:
         summary[q] = row
     print(json.dumps({"summary": summary,
                       "n_fixes": {"trajectory_stats": N_FIXES_STATS,
-                                  "geofence_visits": N_FIXES_FENCE},
+                                  "geofence_visits": N_FIXES_FENCE,
+                                  "co_location": N_FIXES_COLOC},
                       "n_entities": N_ENTITIES}))
 
 
