@@ -2253,15 +2253,22 @@ def oracle_sql() -> dict[str, str]:
             w AS (
                 SELECT user_id, id, lat, lon,
                        lag(lat) OVER win AS pla, lag(lon) OVER win AS plo,
+                       lag(id) OVER win AS pseq,
                        CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER win
                             AS DOUBLE) / 1000000.0e0 AS dt_s
                 FROM p
                 WINDOW win AS (PARTITION BY user_id ORDER BY ts, id)
             ),
             s AS (
+                -- mirrors the engine exactly: first-fix filter on the
+                -- lagged SEQ; NULL-coordinate endpoints -> NULL segment
+                -- (greatest/least would otherwise fold to acos(-1))
                 SELECT user_id, id, dt_s,
-                       {exprs.sql_dist_km('pla', 'plo', 'lat', 'lon')} AS seg
-                FROM w WHERE pla IS NOT NULL
+                       CASE WHEN pla IS NOT NULL AND plo IS NOT NULL
+                             AND lat IS NOT NULL AND lon IS NOT NULL
+                       THEN {exprs.sql_dist_km('pla', 'plo', 'lat', 'lon')}
+                       END AS seg
+                FROM w WHERE pseq IS NOT NULL
             )
             SELECT user_id, id AS event_id,
                    round(seg, 6) AS seg_km,
@@ -2271,7 +2278,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((CASE WHEN dt_s > 0.0e0
                                   THEN seg / (dt_s / 3600.0e0) END)
                             > {_D(SEG_GLITCH_KMH)}, false)
-                   OR (dt_s = 0.0e0 AND seg > 0.0e0) AS is_glitch
+                   OR coalesce(dt_s = 0.0e0 AND seg > 0.0e0, false)
+                       AS is_glitch
             FROM s
         """,
         # per-entity rollup: path_km/avg_kmh at 3dp (the segment sum is
@@ -2295,15 +2303,22 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
                 SELECT user_id, count(*) AS n_points,
-                       -- NULL-lag guard: greatest/least ignore NULLs in
-                       -- DuckDB too, so the unguarded clamp would fold
-                       -- the first row to a phantom acos(-1) segment
-                       coalesce(sum(CASE WHEN pla IS NOT NULL THEN
+                       -- NULL guards: greatest/least ignore NULLs in
+                       -- DuckDB too, so an unguarded clamp folds any
+                       -- NULL endpoint to a phantom acos(-1) segment
+                       coalesce(sum(CASE WHEN pla IS NOT NULL
+                                     AND plo IS NOT NULL
+                                     AND lat IS NOT NULL
+                                     AND lon IS NOT NULL THEN
                            {exprs.sql_dist_km('pla', 'plo', 'lat', 'lon')}
                        END), 0.0e0) AS path_km,
-                       {exprs.sql_dist_km('max(f_lat)', 'max(f_lon)',
-                                          'max(l_lat)', 'max(l_lon)')}
-                           AS displacement_km,
+                       CASE WHEN max(f_lat) IS NOT NULL
+                             AND max(f_lon) IS NOT NULL
+                             AND max(l_lat) IS NOT NULL
+                             AND max(l_lon) IS NOT NULL
+                       THEN {exprs.sql_dist_km('max(f_lat)', 'max(f_lon)',
+                                               'max(l_lat)', 'max(l_lon)')}
+                       END AS displacement_km,
                        CAST(max(us) - min(us) AS DOUBLE) / 1000000.0e0
                            AS duration_s
                 FROM w GROUP BY user_id
@@ -2329,7 +2344,8 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT user_id, ts, id,
                          {exprs.sql_tile_x('lon', OD_ZOOM)} AS tx,
                          {exprs.sql_tile_y('lat', OD_ZOOM)} AS ty
-                  FROM p),
+                  FROM p
+                  WHERE lat IS NOT NULL AND lon IS NOT NULL),
             m AS (SELECT user_id,
                          lag(tx) OVER win AS fx, lag(ty) OVER win AS fy,
                          tx, ty
@@ -2380,7 +2396,8 @@ def oracle_sql() -> dict[str, str]:
                          {exprs.sql_tile_x('lon', OD_ZOOM)} AS tile_x,
                          {exprs.sql_tile_y('lat', OD_ZOOM)} AS tile_y,
                          epoch_us(ts) AS us
-                  FROM p),
+                  FROM p
+                  WHERE lat IS NOT NULL AND lon IS NOT NULL),
             r AS (SELECT user_id, tile_x, tile_y,
                          lead(us) OVER win - us AS dw
                   FROM t

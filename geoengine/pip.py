@@ -130,16 +130,19 @@ def points_in_multipolygons(
     carrying the vertex arrays on the covering rows multiplied the
     broadcast/shuffle payload by the covering fanout (measured 22 MB vs
     3 MB for 6 wide polygons) and serialized a parallelism-independent
-    broadcast-build term into every run.
+    broadcast-build term into every run. The geometry attach is
+    broadcast-HINTED only while the polygon side's plan-stats size sits
+    under the same 64 MiB cap the kNN brute path uses — a million-fence
+    corpus falls back to a planner-chosen join instead of OOMing the
+    driver. Both frames derive from ONE shared polygon-prep subtree.
     """
-    cov = polygon_covering_cells(
-        polygons, half_bits, poly_id, rings_col
-    ).select(poly_id, "_geom_key", "gkey")
-    geom = _prepped_polygons(polygons, poly_id, rings_col).select(
-        "_geom_key", "_wrap", "_rlat", "_rlon"
-    ).dropDuplicates(["_geom_key"])
+    prep = _prepped_polygons(polygons, poly_id, rings_col)
+    cov = _covering_from_prep(prep, half_bits, poly_id).select(
+        poly_id, "_geom_key", "gkey"
+    )
+    geom = _geometry_frame(prep)
     pts = with_grid_cell(points, half_bits)
-    cand = pts.join(cov, "gkey").join(F.broadcast(geom), "_geom_key")
+    cand = pts.join(cov, "gkey").join(geom, "_geom_key")
     hit = cand.where(
         _pip_udf()(
             F.col("latitude"), F.col("longitude"), F.col("_geom_key"),
@@ -147,6 +150,25 @@ def points_in_multipolygons(
         )
     )
     return hit.select(F.col(point_id).alias("point_id"), poly_id, *keep)
+
+
+_GEOM_BROADCAST_CAP = 64 << 20  # bytes; matches knn_join_brute's hard cap
+
+
+def _geometry_frame(prep: DataFrame) -> DataFrame:
+    """Per-DISTINCT-geometry attach frame, broadcast-hinted only when the
+    polygon side is plausibly small (plan-stats sizeInBytes under 64 MiB
+    — same seam and cap as knn._plan_stats; unknown stats fall back to
+    the planner's own choice)."""
+    from .knn import _plan_stats
+
+    geom = prep.select("_geom_key", "_wrap", "_rlat", "_rlon").dropDuplicates(
+        ["_geom_key"]
+    )
+    _, size = _plan_stats(prep)
+    if size is not None and size <= _GEOM_BROADCAST_CAP:
+        return F.broadcast(geom)
+    return geom
 
 
 def _prepped_polygons(
@@ -215,8 +237,20 @@ def polygon_covering_cells(
     gkey) and re-attaches the ring arrays per distinct geometry — see
     points_in_multipolygons.)
     """
+    return _covering_from_prep(
+        _prepped_polygons(polygons, poly_id, rings_col), half_bits, poly_id
+    )
+
+
+def _covering_from_prep(
+    prep: DataFrame, half_bits: int, poly_id: str = "poly_id"
+) -> DataFrame:
+    """Covering-cell explode over an already-prepped polygon frame — the
+    shared subtree points_in_multipolygons and the streaming membership
+    join both build their covering AND geometry sides from, so the
+    per-polygon prep (flatten/md5/shift/bbox) is expressed once per plan."""
     n = 1 << half_bits
-    polys = _prepped_polygons(polygons, poly_id, rings_col)
+    polys = prep
     # x covering range: in the shifted frame the raw (unclamped) index can
     # reach [n, 3n/2); pmod wraps it back onto the grid the points use.
     # Non-wrapped polygons keep the exact old clamped semantics.

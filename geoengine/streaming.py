@@ -436,13 +436,22 @@ def streaming_geofence_events(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from .pip import _pip_udf, _prepped_polygons, polygon_covering_cells
+    from .pip import (
+        _covering_from_prep,
+        _geometry_frame,
+        _pip_udf,
+        _prepped_polygons,
+    )
 
-    cov = polygon_covering_cells(polygons, half_bits, poly_id, rings_col)\
-        .select(poly_id, "_geom_key", "gkey")
-    geom = _prepped_polygons(polygons, poly_id, rings_col).select(
-        "_geom_key", "_wrap", "_rlat", "_rlon"
-    ).dropDuplicates(["_geom_key"])
+    # one shared prep subtree feeds both membership sides (same structure
+    # as the batch join); the geometry attach is broadcast-hinted only
+    # under the plan-stats size cap — million-fence corpora fall back to
+    # the planner's choice
+    prep = _prepped_polygons(polygons, poly_id, rings_col)
+    cov = _covering_from_prep(prep, half_bits, poly_id).select(
+        poly_id, "_geom_key", "gkey"
+    )
+    geom = _geometry_frame(prep)
     from .join import with_grid_cell
 
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -457,8 +466,8 @@ def streaming_geofence_events(
         half_bits,
     )
     cand = (
-        pts.join(F.broadcast(cov), "gkey", "left")
-        .join(F.broadcast(geom), "_geom_key", "left")
+        pts.join(cov, "gkey", "left")
+        .join(geom, "_geom_key", "left")
     )
     rows = cand.select(
         "_ent", "_seq", "_us",
@@ -498,12 +507,17 @@ def streaming_geofence_events(
             }
         )
 
+    # output/state schemas follow the INPUT types (entity ids and fence
+    # ids are caller-defined — string device UUIDs, int fence ids, ...)
+    ent_type = stream_points.schema[entity_col].dataType.simpleString()
+    poly_type = polygons.schema[poly_id].dataType.simpleString()
     return rows.groupBy(F.col("_ent")).applyInPandasWithState(
         fn,
         outputStructType=(
-            "entity long, poly_id string, event string, event_us long"
+            f"entity {ent_type}, poly_id {poly_type}, "
+            "event string, event_us long"
         ),
-        stateStructType="inside array<string>, last_us long",
+        stateStructType=f"inside array<{poly_type}>, last_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

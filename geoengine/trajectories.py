@@ -30,9 +30,11 @@ Input contract: fixes with NULL timestamps are undefined — Spark windows
 order NULLS FIRST ascending while DuckDB defaults NULLS LAST, so the
 engine and any SQL twin would disagree on where a NULL-ts fix sits in
 the sequence; filter them out upstream. NULL coordinates drop silently
-on the join-based operators (NULL keys never match) and produce NULL
-segments on the window-based ones (explicitly guarded — see
-trajectory_stats).
+on the join-based operators (NULL keys never match), are DROPPED
+up-front by the tile-keyed ops (tile_flows, dwell_times — the tile
+clamp would otherwise fabricate a corner tile), and produce NULL
+segment/displacement metrics on the distance ops (explicitly guarded —
+see trajectory_stats).
 
 Scale posture (100 TB of fixes): every operator is pure-Column codegen
 over ONE window shuffle keyed by the entity id — lag, row_number and
@@ -87,12 +89,27 @@ def segment_metrics(
         F.col(lon_col).alias("_lon"),
         F.lag(lat_col).over(w).alias("_pla"),
         F.lag(lon_col).over(w).alias("_plo"),
+        # first-fix detection must lag a NEVER-NULL column: lagging a
+        # coordinate would also drop the successor of a NULL-coordinate
+        # fix (which owes a row with NULL metrics, not absence)
+        F.lag(seq_col).over(w).alias("_pseq"),
         ((us - F.lag(us).over(w)).cast("double") / 1.0e6).alias("dt_s"),
-    ).where(F.col("_pla").isNotNull())
+    ).where(F.col("_pseq").isNotNull())
+    # all-four-coordinate guard: greatest/least skip NULLs, so an
+    # unguarded NULL endpoint folds the acos clamp to a phantom
+    # 20,015-km segment — a NULL-coordinate endpoint yields a NULL
+    # segment (the module's documented NULL contract)
+    coords_ok = (
+        F.col("_pla").isNotNull() & F.col("_plo").isNotNull()
+        & F.col("_lat").isNotNull() & F.col("_lon").isNotNull()
+    )
     seg = seg.withColumn(
         "seg_km",
-        exprs.dist_km(
-            F.col("_pla"), F.col("_plo"), F.col("_lat"), F.col("_lon")
+        F.when(
+            coords_ok,
+            exprs.dist_km(
+                F.col("_pla"), F.col("_plo"), F.col("_lat"), F.col("_lon")
+            ),
         ),
     ).withColumn(
         "kmh",
@@ -109,7 +126,10 @@ def segment_metrics(
             # glitch: coalesce the over-speed clause so a zero-dt,
             # zero-move fix flags false, not NULL
             F.coalesce(F.col("kmh") > F.lit(float(max_kmh)), F.lit(False))
-            | ((F.col("dt_s") == 0.0) & (F.col("seg_km") > 0.0)),
+            | F.coalesce(
+                (F.col("dt_s") == 0.0) & (F.col("seg_km") > 0.0),
+                F.lit(False),
+            ),
         )
         cols.append("is_glitch")
     return seg.select(*cols)
@@ -139,14 +159,20 @@ def trajectory_stats(
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     us = _epoch_us(F.col(ts_col))
     la, lo = F.col(lat_col), F.col(lon_col)
-    # the NULL-lag first row must be guarded EXPLICITLY: dist_km's acos
-    # clamp uses greatest/least, which IGNORE NULL inputs (in Spark and
-    # DuckDB both), so an unguarded NULL coordinate folds to acos(-1) — a
-    # phantom 20,015-km antipodal segment, not a NULL
+    # the NULL-lag first row AND any NULL coordinate must be guarded
+    # EXPLICITLY: dist_km's acos clamp uses greatest/least, which IGNORE
+    # NULL inputs (in Spark and DuckDB both), so an unguarded NULL folds
+    # to acos(-1) — a phantom 20,015-km antipodal segment, not a NULL.
+    # NULL-coordinate segments are skipped by the path sum (partial path,
+    # module NULL contract).
+    seg_ok = (
+        F.lag(la).over(w).isNotNull() & F.lag(lo).over(w).isNotNull()
+        & la.isNotNull() & lo.isNotNull()
+    )
     rows = points.select(
         entity_col,
         F.when(
-            F.lag(la).over(w).isNotNull(),
+            seg_ok,
             exprs.dist_km(F.lag(la).over(w), F.lag(lo).over(w), la, lo),
         ).alias("_seg_km"),
         us.alias("_us"),
@@ -159,9 +185,16 @@ def trajectory_stats(
         F.count("*").alias("n_points"),
         F.coalesce(F.sum("_seg_km"), F.lit(0.0)).alias("path_km"),
         # first/last coords are frame-constant per entity; max() reduces
-        # them deterministically without an order-sensitive first()
-        exprs.dist_km(
-            F.max("_f_lat"), F.max("_f_lon"), F.max("_l_lat"), F.max("_l_lon")
+        # them deterministically without an order-sensitive first().
+        # Same NULL guard as the segments: a NULL first/last coordinate
+        # means displacement is undefined, not antipodal
+        F.when(
+            F.max("_f_lat").isNotNull() & F.max("_f_lon").isNotNull()
+            & F.max("_l_lat").isNotNull() & F.max("_l_lon").isNotNull(),
+            exprs.dist_km(
+                F.max("_f_lat"), F.max("_f_lon"),
+                F.max("_l_lat"), F.max("_l_lon"),
+            ),
         ).alias("displacement_km"),
         ((F.max("_us") - F.min("_us")).cast("double") / 1.0e6).alias(
             "duration_s"
@@ -202,8 +235,14 @@ def tile_flows(
 
     Same one-window-shuffle shape as segment_metrics: lag over the
     entity's (ts, seq) sort, then a map-side-combinable groupBy on the
-    tile pair. Pure Column codegen end to end.
+    tile pair. Pure Column codegen end to end. NULL-coordinate fixes are
+    DROPPED before windowing (the tile clamp would otherwise fabricate a
+    corner tile for them — greatest/least skip NULLs); the transition
+    then spans the gap.
     """
+    points = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    )
     w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
     tx = exprs.tile_x(F.col(lon_col), zoom)
     ty = exprs.tile_y(F.col(lat_col), zoom)
@@ -243,8 +282,13 @@ def dwell_times(
     Output: (entity, tile_x, tile_y, dwell_s, n_intervals). ``dwell_s``
     sums EXACT integer microseconds before one final divide, so parity
     holds bit-for-bit at any row count. One window shuffle + one groupBy
-    on (entity, tile) — all-Column codegen.
+    on (entity, tile) — all-Column codegen. NULL-coordinate fixes are
+    DROPPED before windowing (same contract as tile_flows); the interval
+    then attributes to the last located fix.
     """
+    points = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    )
     w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
     us = _epoch_us(F.col(ts_col))
     rows = points.select(
@@ -324,8 +368,12 @@ def co_location_pairs(
 
     if not float(radius_km) > 0.0:
         raise ValueError(f"radius_km must be > 0, got {radius_km}")
-    if not float(max_dt_s) > 0.0:
-        raise ValueError(f"max_dt_s must be > 0, got {max_dt_s}")
+    if not float(max_dt_s) * 1_000_000 >= 1.0:
+        # the bucket key divides by integer microseconds: sub-microsecond
+        # windows truncate to 0 and would divide by zero downstream
+        raise ValueError(
+            f"max_dt_s must be >= 1 microsecond, got {max_dt_s}"
+        )
     hb = pick_half_bits(radius_km) if half_bits is None else half_bits
     us = _epoch_us(F.col(ts_col))
     tau_us = int(float(max_dt_s) * 1_000_000)
@@ -405,8 +453,10 @@ def geofence_visits(
     consecutive-membership runs).
 
     Plan: one window shuffle ranks each entity's fixes; membership is the
-    certified cell-prefiltered PIP join (NO broadcast of either side, no
-    cartesian); a second window on (entity, polygon) + one groupBy build
+    certified cell-prefiltered PIP join — a planner-chosen equi-join on
+    the slim covering frame plus a size-gated broadcast hint for the
+    per-distinct-geometry attach (points_in_multipolygons), never a
+    cartesian; a second window on (entity, polygon) + one groupBy build
     the islands. Hot fences cost their own membership rows only.
     """
     from .pip import points_in_multipolygons

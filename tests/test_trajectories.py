@@ -460,3 +460,92 @@ class TestCoLocationSummary:
             co_location_pairs(pts, 0.0, 60.0)
         with pytest.raises(ValueError, match="max_dt_s"):
             co_location_pairs(pts, 10.0, -1.0)
+
+
+class TestNullCoordinates:
+    """greatest/least skip NULLs, so every coordinate path needs explicit
+    guards — these pin the module's documented NULL contract."""
+
+    def _null_pts(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 1, _ts(0.0), 0.0, 0.0),
+                (2, 1, _ts(10.0), None, None),   # lost fix
+                (3, 1, _ts(20.0), 0.0, 1.0),
+            ],
+            schema="id long, user_id long, ts timestamp_ntz, "
+                   "latitude double, longitude double",
+        )
+
+    def test_segment_metrics_null_is_null_not_antipodal(self, utc):
+        seg = {r["id"]: r for r in
+               segment_metrics(self._null_pts(utc), max_kmh=1e6).collect()}
+        # both segments touching the NULL fix: NULL metrics, glitch False
+        for i in (2, 3):
+            assert seg[i]["seg_km"] is None, i
+            assert seg[i]["kmh"] is None, i
+            assert seg[i]["is_glitch"] is False, i
+
+    def test_trajectory_stats_skips_null_segments(self, utc):
+        r = trajectory_stats(self._null_pts(utc)).collect()[0]
+        assert r["path_km"] == 0.0  # both segments NULL -> skipped
+        # first/last fixes have real coords -> displacement defined
+        assert r["displacement_km"] == pytest.approx(
+            _dist_km(0.0, 0.0, 0.0, 1.0), rel=1e-12
+        )
+
+    def test_trajectory_stats_null_endpoint_displacement(self, utc):
+        pts = utc.createDataFrame(
+            [(1, 1, _ts(0.0), None, None), (2, 1, _ts(10.0), 0.0, 1.0)],
+            schema="id long, user_id long, ts timestamp_ntz, "
+                   "latitude double, longitude double",
+        )
+        r = trajectory_stats(pts).collect()[0]
+        assert r["displacement_km"] is None
+        assert r["straightness"] is None
+
+    def test_tile_ops_drop_null_fixes(self, utc):
+        from geoengine.trajectories import dwell_times, tile_flows
+
+        pts = self._null_pts(utc)
+        flows = tile_flows(pts, 1, include_self=True).collect()
+        # the NULL fix is dropped: one transition 1->3 spanning the gap
+        assert sum(r["n_moves"] for r in flows) == 1
+        dw = dwell_times(pts, 1).collect()
+        # interval attributes to fix 1's tile for the FULL 20 s
+        assert sum(r["dwell_s"] for r in dw) == 20.0
+
+
+class TestStreamingGeofenceGenericTypes:
+    def test_string_entity_and_int_poly(self, utc):
+        import pandas as pd
+
+        from geoengine.streaming import (
+            replay_parquet_stream,
+            run_stream_to_memory,
+            streaming_geofence_events,
+        )
+
+        pts = utc.createDataFrame(
+            [("devA", 1, _ts(0.0), 2.0, 2.0),
+             ("devA", 2, _ts(10.0), 50.0, 50.0)],
+            schema="user_id string, id long, ts timestamp_ntz, "
+                   "latitude double, longitude double",
+        )
+        fences = utc.createDataFrame(
+            pd.DataFrame([{
+                "poly_id": 7,
+                "rings": [[{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                           {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}]],
+            }]),
+            schema="poly_id long, "
+                   "rings array<array<struct<lat:double, lon:double>>>",
+        )
+        stream, d = replay_parquet_stream(utc, pts, n_files=2,
+                                          order_col="ts")
+        out = streaming_geofence_events(stream, fences)
+        table = run_stream_to_memory(out, "geofence_generic_test",
+                                     "append", d)
+        got = sorted((r["entity"], r["poly_id"], r["event"])
+                     for r in table.collect())
+        assert got == [("devA", 7, "enter"), ("devA", 7, "exit")]
