@@ -35,6 +35,7 @@ N_FIXES_STATS = 20_000_000
 N_ENTITIES = 500_000
 N_FIXES_FENCE = 4_000_000
 N_FIXES_COLOC = 1_000_000  # ~600-fix time windows at tau=300s, 1 fix/s
+JOBS = ("trajectory_stats", "geofence_visits", "co_location")
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -82,6 +83,7 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         "geofence_visits": lambda: geofence_visits(gf_src, fences),
         "co_location": lambda: co_location_pairs(co_src, 100.0, 300.0),
     }
+    jobs = {k: v for k, v in jobs.items() if k in JOBS}
     for name, fn in jobs.items():
         force(fn())  # warmup (JIT/codegen/python workers)
         times = []
@@ -100,8 +102,18 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--jobs", default="trajectory_stats,geofence_visits,"
+                    "co_location",
+                    help="comma list to run a subset")
+    ap.add_argument("--fence-fixes", type=int, default=None,
+                    help="override N_FIXES_FENCE (bigger -> less "
+                         "overhead-exposed geofence measurement)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+    global N_FIXES_FENCE, JOBS
+    if args.fence_fixes:
+        N_FIXES_FENCE = args.fence_fixes
+    JOBS = tuple(args.jobs.split(","))
 
     best: dict[tuple[str, int], float] = {}
     for rnd in range(args.rounds):
@@ -111,11 +123,11 @@ def main() -> None:
             res = bench_level(lv, args.reps)
             print(json.dumps({"round": rnd, "cores": lv,
                               "loadavg_start": la, **res}), flush=True)
-            for q in ("trajectory_stats", "geofence_visits", "co_location"):
+            for q in JOBS:
                 key = (q, lv)
                 best[key] = min(best.get(key, 1e9), res[q])
     summary = {}
-    for q in ("trajectory_stats", "geofence_visits", "co_location"):
+    for q in JOBS:
         row = {str(lv): best[(q, lv)] for lv in levels}
         if 2 in levels and 8 in levels:
             row["eff_2_to_8_raw"] = round(
