@@ -1521,9 +1521,11 @@ def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 entries of this dict, in insertion order. Entries 51+ are the
 # rotation bench; the window ROTATES each round so no query's latest
 # driver row ages past ~2 rounds. Round-5 rotation: the 14 queries parked
-# in r04 (last driver row r03) move back inside; the round-5-new queries
-# (dedup_clusters, the trajectory/geofence/image-dedup family,
-# radius_per_row with per-row units) lead; 19 queries each driver-green in
+# in r04 (last driver row r03) move back inside; the 13 round-5-new/
+# changed queries lead (dedup_clusters; the trajectory family — segments/
+# stats/geofence/co-location/contact-summary/OD-flows/dwell; hot spots;
+# streaming geofence; the image/embedding dedup compositions;
+# radius_per_row with per-row units); 26 queries each driver-green in
 # >=2 rounds (r03+r04 or more) park at 51+. tools/check_oracle.py still
 # covers ALL entries every round.
 # ---------------------------------------------------------------------------
