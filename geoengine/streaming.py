@@ -449,7 +449,9 @@ def streaming_geofence_events(
     # the planner's choice
     prep = _prepped_polygons(polygons, poly_id, rings_col)
     cov = _covering_from_prep(prep, half_bits, poly_id).select(
-        poly_id, "_geom_key", "gkey"
+        poly_id, "_geom_key", "gkey",
+        F.col("_wrap").alias("_bwrap"),
+        "_lat0", "_lat1", "_lon0", "_lon1",
     )
     geom = _geometry_frame(prep)
     from .join import with_grid_cell
@@ -465,8 +467,23 @@ def streaming_geofence_events(
         ),
         half_bits,
     )
+    # the codegen'd bbox test rides the LEFT join's condition (bbox >=
+    # polygon, so bbox-outside implies outside — a fix failing it keeps
+    # its null row, preserving exit detection) and spares the geometry
+    # join + Arrow stage the covering grid's overhang
+    lon_eff = F.when(
+        cov["_bwrap"] & (pts["longitude"] < 0.0), pts["longitude"] + 360.0
+    ).otherwise(pts["longitude"])
     cand = (
-        pts.join(cov, "gkey", "left")
+        pts.join(
+            cov,
+            (pts["gkey"] == cov["gkey"])
+            & pts["latitude"].between(cov["_lat0"], cov["_lat1"])
+            & lon_eff.between(cov["_lon0"], cov["_lon1"]),
+            "left",
+        )
+        .drop(cov["gkey"])
+        .drop("_bwrap", "_lat0", "_lat1", "_lon0", "_lon1")
         .join(geom, "_geom_key", "left")
     )
     rows = cand.select(
