@@ -549,3 +549,18 @@ class TestStreamingGeofenceGenericTypes:
         got = sorted((r["entity"], r["poly_id"], r["event"])
                      for r in table.collect())
         assert got == [("devA", 7, "enter"), ("devA", 7, "exit")]
+
+
+class TestTrajectoryPlanShape:
+    def test_stats_single_exchange(self, utc):
+        """PLANS.md claim: the entity-key shuffle is paid ONCE and reused
+        by the lag window, the first/last frame and the groupBy (partial
+        agg rides map-side)."""
+        pts = _points(utc, [(1, 1, 0.0, 0.0, 0.0), (2, 1, 1.0, 0.0, 1.0)])
+        plan = trajectory_stats(pts)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_exchanges = sum(
+            1 for line in plan.splitlines()
+            if "Exchange" in line.strip()[:12]
+        )
+        assert n_exchanges == 1, plan
