@@ -1196,6 +1196,121 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster_id", "is_keeper")
 
 
+# DBSCAN gate fixture: 24 well-separated cluster blobs (3-deg jitter boxes,
+# centers >=10 deg lat / 15 deg lon apart so components never merge and the
+# oracle's recursive closure stays cluster-local) + 20% uniform background.
+# All coordinates derive from md5 hash buckets (text.hash_bucket — already
+# bit-exact across engines, hash_split-certified), so DuckDB reproduces the
+# points exactly. eps/min_pts sized so ALL THREE roles occur at sf0.001 AND
+# sf0.01 (core / border / noise).
+DBSCAN_EPS_KM, DBSCAN_MIN_PTS = 80.0, 8
+
+
+def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoengine.text import hash_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    u0 = hash_bucket("event_id", "dbk")
+    ua = hash_bucket("event_id", "dba")
+    ub = hash_bucket("event_id", "dbb")
+    ci = F.floor(u0 * F.lit(30.0))  # 0..23 for the clustered 80%
+    clat = (ci * 7) % 12 * F.lit(10.0) - F.lit(55.0)
+    clon = (ci * 13) % 24 * F.lit(15.0) - F.lit(172.5)
+    lat = F.when(u0 < 0.8, clat + (ua - 0.5) * 3.0) \
+        .otherwise((ua - 0.5) * 132.0)
+    lon = F.when(u0 < 0.8, clon + (ub - 0.5) * 3.0) \
+        .otherwise((ub - 0.5) * 356.0)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+    )
+
+
+def q_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN) — composition of the
+    certified cell-keyed radius self-join (eps neighborhoods, never
+    all-pairs) and alternating-star connected components, with the
+    engine's deterministic tie rules (min-id cluster labels, border ->
+    min reachable core). The oracle recomputes neighborhoods by brute
+    bounded cross join and clusters by recursive-CTE closure over the
+    core-core graph, so core flags, component merging AND border claiming
+    must all agree row-for-row."""
+    from geoengine.clusters import spatial_dbscan
+
+    out = spatial_dbscan(
+        _dbscan_points(spark, sf_dir), DBSCAN_EPS_KM, DBSCAN_MIN_PTS
+    )
+    return out.select("id", "is_core", "cluster_id")
+
+
+def _sql_spatial_dbscan() -> str:
+    """DuckDB twin of q_spatial_dbscan: identical point derivation
+    (sql_hash_bucket is the md5 twin of text.hash_bucket; every
+    coordinate op mirrors the Column expression's IEEE order), brute
+    neighborhoods, recursive closure, min-label border claim."""
+    from geoengine.text import sql_hash_bucket
+
+    u0 = sql_hash_bucket("event_id", "dbk")
+    ua = sql_hash_bucket("event_id", "dba")
+    ub = sql_hash_bucket("event_id", "dbb")
+    d = exprs.sql_dist_km("a.lat", "a.lon", "b.lat", "b.lon")
+    eps, minp = _D(DBSCAN_EPS_KM), DBSCAN_MIN_PTS
+    return f"""
+        WITH RECURSIVE raw AS (
+            SELECT event_id AS id, {u0} AS u0, {ua} AS ua, {ub} AS ub,
+                   CAST(floor({u0} * 30.0e0) AS BIGINT) AS ci
+            FROM events
+        ),
+        p AS (
+            SELECT id,
+                   CASE WHEN u0 < 0.8e0
+                        THEN ((ci * 7) % 12) * 10.0e0 - 55.0e0
+                             + (ua - 0.5e0) * 3.0e0
+                        ELSE (ua - 0.5e0) * 132.0e0 END AS lat,
+                   CASE WHEN u0 < 0.8e0
+                        THEN ((ci * 13) % 24) * 15.0e0 - 172.5e0
+                             + (ub - 0.5e0) * 3.0e0
+                        ELSE (ub - 0.5e0) * 356.0e0 END AS lon
+            FROM raw
+        ),
+        prs AS (
+            SELECT a.id AS u, b.id AS v FROM p a JOIN p b
+            ON abs(a.lat - b.lat) <= {eps} / 110.0e0 AND {d} <= {eps}
+        ),
+        core AS (
+            SELECT u AS id FROM prs GROUP BY u HAVING count(*) >= {minp}
+        ),
+        ce AS (
+            SELECT u, v FROM prs WHERE u <> v
+              AND u IN (SELECT id FROM core)
+              AND v IN (SELECT id FROM core)
+        ),
+        walk(node, label) AS (
+            SELECT id, id FROM core
+          UNION
+            SELECT ce.v, w.label FROM walk w JOIN ce ON w.node = ce.u
+        ),
+        corelab AS (
+            SELECT node AS id, min(label) AS cluster_id FROM walk
+            GROUP BY node
+        ),
+        lab AS (
+            SELECT id, cluster_id, true AS is_core FROM corelab
+          UNION ALL
+            SELECT prs.u AS id, min(c.cluster_id) AS cluster_id,
+                   false AS is_core
+            FROM prs JOIN corelab c ON prs.v = c.id
+            WHERE prs.u <> prs.v
+              AND prs.u NOT IN (SELECT id FROM core)
+            GROUP BY prs.u
+        )
+        SELECT p.id AS id, coalesce(l.is_core, false) AS is_core,
+               l.cluster_id AS cluster_id
+        FROM p LEFT JOIN lab l ON p.id = l.id
+    """
+
+
 # trajectory surface constants: glitch threshold sits inside the observed
 # speed spread of the synthetic fixes (17 km/h .. 1.1e5 km/h at sf0.01) so
 # both flag values occur; geofence polygons are the seeded pip fixture at
@@ -1521,16 +1636,17 @@ def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 entries of this dict, in insertion order. Entries 51+ are the
 # rotation bench; the window ROTATES each round so no query's latest
 # driver row ages past ~2 rounds. Round-5 rotation: the 14 queries parked
-# in r04 (last driver row r03) move back inside; the 13 round-5-new/
-# changed queries lead (dedup_clusters; the trajectory family — segments/
-# stats/geofence/co-location/contact-summary/OD-flows/dwell; hot spots;
-# streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 26 queries each driver-green in
-# >=2 rounds (r03+r04 or more) park at 51+. tools/check_oracle.py still
-# covers ALL entries every round.
+# in r04 (last driver row r03) move back inside; the 14 round-5-new/
+# changed queries lead (spatial_dbscan; dedup_clusters; the trajectory
+# family — segments/stats/geofence/co-location/contact-summary/OD-flows/
+# dwell; hot spots; streaming geofence; the image/embedding dedup
+# compositions; radius_per_row with per-row units); 27 queries each
+# driver-green in >=2 rounds (r03+r04 or more) park at 51+.
+# tools/check_oracle.py still covers ALL entries every round.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
+    "spatial_dbscan": q_spatial_dbscan,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -2233,6 +2349,12 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure of the SAME pair set ngram_jaccard certifies:
         # min-label reachability via a recursive CTE (label set of a node =
         # every id in its component; min = the engine's cluster_id)
+        # DBSCAN: brute bounded cross join for the eps neighborhoods
+        # (|dlat| <= eps/110 is a NECESSARY condition: 1 deg lat >= 110.57
+        # km), recursive-CTE closure over the core-core graph for cluster
+        # merging, min-over-reachable-cores for the border claim — the
+        # engine's deterministic tie rules reproduced end to end
+        "spatial_dbscan": _sql_spatial_dbscan(),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(0.8, same_source=True)}),
             edges(a, b) AS (SELECT doc1, doc2 FROM pairs

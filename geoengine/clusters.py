@@ -301,3 +301,119 @@ def dedup_documents(
         docs, pairs, id_col=id_col, keeper_order=keeper_order,
         max_iter=max_iter, cache_registry=cache_registry,
     )
+
+
+def spatial_dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    unit: str = "km",
+    half_bits: int | None = None,
+    strategy: str = "auto",
+    max_iter: int = 30,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN, Ester et al. KDD'96) as a
+    composition of two certified engine primitives: the cell-keyed radius
+    self-join (join.radius_join_pairs — never all-pairs) for the eps
+    neighborhoods, and alternating-star connected components
+    (:func:`connected_components`) for cluster formation.
+
+    Semantics (deterministic variant):
+
+    - ``|N_eps(p)|`` counts every point within ``eps`` INCLUSIVE of p
+      itself (the self-pair falls out of the radius join at distance 0)
+      and inclusive of the ``<=`` boundary — the engine's reference
+      boundary rule (SparkDS.scala:87-90).
+    - core point: ``|N_eps(p)| >= min_pts``.
+    - clusters: connected components of the core-core eps graph;
+      ``cluster_id`` = MIN core id of the component (a core with no other
+      core in reach is its own singleton cluster).
+    - border point: non-core within eps of >=1 core. Textbook DBSCAN
+      assigns it to whichever core claims it first (scan-order dependent);
+      here it joins the MINIMUM ``cluster_id`` among its reachable cores —
+      deterministic, so results are reproducible across runs, partition
+      counts and engines (the DuckDB oracle reproduces it exactly).
+    - noise: non-core with no core in reach -> ``cluster_id`` NULL.
+
+    Input needs columns (id, latitude, longitude); ids must be non-NULL
+    and unique (they become graph nodes and cluster labels). Rows with
+    NULL/out-of-range coordinates are dropped (same contract as the tile
+    ops and ``join.validate_points``) — they appear in neither the output
+    nor any neighborhood count. Output: (id, is_core, cluster_id).
+
+    Scale posture (100 TB): the eps graph comes from the single int64
+    cell equi-join (no cartesian anywhere — plan-asserted in tests); the
+    pair set is persisted once and read by the degree count, the
+    core-core edge filter and the border assignment (pass
+    ``cache_registry`` to release it, plus the component fixpoint blocks,
+    once results are materialized); core-set semi-joins and both groupBys
+    shuffle on a single int64 id. eps is a LOCAL density scale — the pair
+    set is ~n * avg_neighbors rows, so size eps to the density you mean
+    to detect, not to a search radius.
+    """
+    from .join import radius_join_pairs, validate_points
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    pts = validate_points(points).select("id", "latitude", "longitude")
+    pairs = radius_join_pairs(
+        pts, pts, eps, unit=unit, half_bits=half_bits, strategy=strategy,
+        validate=False,
+    ).select("origin_id", "neighbor_id").persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
+
+    deg = pairs.groupBy("origin_id").agg(F.count("*").alias("n_eps"))
+    core = deg.where(F.col("n_eps") >= int(min_pts)).select(
+        F.col("origin_id").alias("cid")
+    )
+
+    nonself = pairs.where(F.col("origin_id") != F.col("neighbor_id"))
+    core_edges = (
+        nonself
+        .join(core, nonself["origin_id"] == core["cid"], "left_semi")
+        .join(core, nonself["neighbor_id"] == core["cid"], "left_semi")
+    )
+    comp = connected_components(
+        core_edges, id1="origin_id", id2="neighbor_id", max_iter=max_iter,
+        cache_registry=cache_registry,
+    )
+    core_lab = (
+        core.join(comp, core["cid"] == comp["node"], "left")
+        # isolated core (no core neighbor): its own singleton cluster
+        .select(
+            F.col("cid").alias("id"),
+            F.coalesce("cluster_id", "cid").alias("cluster_id"),
+            F.lit(True).alias("is_core"),
+        )
+    )
+
+    # border points: non-core origins reaching >=1 core neighbor take the
+    # MIN reachable core's cluster label (deterministic claim rule)
+    ncl = core_lab.select(
+        F.col("id").alias("_nid"), F.col("cluster_id").alias("_ncl")
+    )
+    border_lab = (
+        nonself
+        .join(core, nonself["origin_id"] == core["cid"], "left_anti")
+        .join(ncl, F.col("neighbor_id") == F.col("_nid"))
+        .groupBy("origin_id")
+        .agg(F.min("_ncl").alias("cluster_id"))
+        .select(
+            F.col("origin_id").alias("id"), "cluster_id",
+            F.lit(False).alias("is_core"),
+        )
+    )
+
+    labels = core_lab.unionByName(border_lab).select(
+        F.col("id").alias("_lid"), "cluster_id", "is_core"
+    )
+    return (
+        pts.join(labels, pts["id"] == labels["_lid"], "left")
+        .select(
+            "id",
+            F.coalesce("is_core", F.lit(False)).alias("is_core"),
+            "cluster_id",  # NULL == noise
+        )
+    )

@@ -185,3 +185,142 @@ def test_dedup_documents_end_to_end(spark):
     keeper_clusters = keep.select("cluster_id").distinct()
     assert dropped.exceptAll(keeper_clusters).count() == 0
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# spatial_dbscan
+# ---------------------------------------------------------------------------
+
+def _brute_dbscan(pts, eps_km, min_pts):
+    """Textbook DBSCAN with the engine's deterministic tie rules: all-pairs
+    neighborhoods (law-of-cosines, <= boundary, self included), min-id
+    cluster labels via union-find, border -> min reachable core label."""
+    from geoengine.geodesy import dist_law_of_cosines_km
+
+    nbr = {i: set() for i, _, _ in pts}
+    for i, la, lo in pts:
+        for j, lb, lob in pts:
+            if dist_law_of_cosines_km(la, lo, lb, lob) <= eps_km:
+                nbr[i].add(j)
+    core = {i for i in nbr if len(nbr[i]) >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in nbr[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    roots = {}
+    for c in core:
+        roots.setdefault(find(c), []).append(c)
+    label = {}
+    for members in roots.values():
+        lo_id = min(members)
+        for c in members:
+            label[c] = lo_id
+    exp = {}
+    for i, _, _ in pts:
+        if i in core:
+            exp[i] = (True, label[i])
+        else:
+            reach = sorted(label[c] for c in nbr[i] if c in core)
+            exp[i] = (False, reach[0] if reach else None)
+    return exp
+
+
+def _dbscan_spark(spark, pts, eps_km, min_pts, **kw):
+    from geoengine.clusters import spatial_dbscan
+
+    df = spark.createDataFrame(
+        pts, "id long, latitude double, longitude double"
+    )
+    out = spatial_dbscan(df, eps_km, min_pts, **kw)
+    return {r["id"]: (r["is_core"], r["cluster_id"]) for r in out.collect()}
+
+
+def test_dbscan_blobs_borders_noise_vs_brute(spark):
+    rng = random.Random(7)
+    pts, i = [], 0
+    for cx, cy in [(10.0, 10.0), (12.0, 40.0), (-30.0, -60.0)]:
+        for _ in range(30):
+            pts.append((i, cx + rng.uniform(-0.5, 0.5),
+                        cy + rng.uniform(-0.5, 0.5)))
+            i += 1
+    for _ in range(25):
+        pts.append((i, rng.uniform(-80, 80), rng.uniform(-170, 170)))
+        i += 1
+    exp = _brute_dbscan(pts, 60.0, 5)
+    got = _dbscan_spark(spark, pts, 60.0, 5)
+    assert got == exp
+    # the fixture exercises cores (3 clusters) and noise; the border role
+    # has its own deterministic test below
+    assert len({v[1] for v in exp.values() if v[0]}) == 3
+    assert any(v[1] is None for v in exp.values())
+
+
+def test_dbscan_border_point_min_core_label(spark):
+    # chain of 4 mutual cores (0.1 deg lon ~ 11.1 km apart, min_pts=4),
+    # one border point reaching ONLY the chain end (2 < min_pts in its own
+    # disc), one far noise point
+    pts = [(10, 0.0, 0.0), (11, 0.0, 0.1), (12, 0.0, 0.2), (13, 0.0, 0.3),
+           (14, 0.0, 0.6), (15, 0.0, 5.0)]
+    exp = _brute_dbscan(pts, 40.0, 4)
+    got = _dbscan_spark(spark, pts, 40.0, 4)
+    assert got == exp
+    assert got[14] == (False, 10)   # border, labeled by the min core id
+    assert got[15] == (False, None)  # noise
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_dbscan_random_vs_brute(spark, seed):
+    rng = random.Random(seed)
+    pts = [(i, rng.uniform(-70, 70), rng.uniform(-179, 179))
+           for i in range(120)]
+    # dense enough that SOME neighborhoods clear min_pts
+    eps, minp = 900.0, 3
+    assert _dbscan_spark(spark, pts, eps, minp) == _brute_dbscan(
+        pts, eps, minp)
+
+
+def test_dbscan_min_pts_one_every_point_core(spark):
+    pts = [(0, 0.0, 0.0), (1, 0.1, 0.1), (2, 50.0, 50.0)]
+    got = _dbscan_spark(spark, pts, 20.0, 1)
+    # every point is core (self-neighborhood); 0-1 cluster together, 2 alone
+    assert got == {0: (True, 0), 1: (True, 0), 2: (True, 2)}
+
+
+def test_dbscan_all_noise_and_validation(spark):
+    pts = [(0, 0.0, 0.0), (1, 40.0, 90.0), (2, None, 10.0),
+           (3, 95.0, 0.0)]
+    got = _dbscan_spark(spark, pts, 10.0, 2)
+    # NULL / out-of-range coordinates dropped entirely (validate_points
+    # contract); survivors too sparse for min_pts=2 -> all noise
+    assert got == {0: (False, None), 1: (False, None)}
+    with pytest.raises(ValueError, match="min_pts"):
+        _dbscan_spark(spark, pts, 10.0, 0)
+
+
+def test_dbscan_plan_no_cartesian_and_cache_released(spark):
+    from geoengine.clusters import spatial_dbscan
+
+    pts = [(i, float(i) * 0.01, float(i) * 0.01) for i in range(40)]
+    df = spark.createDataFrame(
+        pts, "id long, latitude double, longitude double"
+    )
+    before = _n_persistent(spark)
+    reg = []
+    out = spatial_dbscan(df, 5.0, 3, cache_registry=reg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.collect()
+    assert len(reg) >= 1
+    for h in reg:
+        h.unpersist()
+    assert _n_persistent(spark) <= before
