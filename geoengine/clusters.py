@@ -351,11 +351,32 @@ def spatial_dbscan(
     shuffle on a single int64 id. eps is a LOCAL density scale — the pair
     set is ~n * avg_neighbors rows, so size eps to the density you mean
     to detect, not to a search radius.
+
+    Grid resolution: DBSCAN points are dense at the eps scale BY
+    DEFINITION (clusters need >= min_pts per eps-disc), so the default
+    grid is two levels FINER than the generic join heuristic's
+    ~cell-per-radius: smaller cells cut false candidates per hot cell
+    and spread the join key over ~16x more cells. Measured on the gate
+    fixture: 2.0x faster on the dense sf0.1 blobs (157 s -> 79 s
+    pair-stage at 10 vs auto 7) and still faster on sparse sf0.01
+    (14.0 s vs 16.0 s whole-op warm); the pair SET is identical at any
+    resolution (coverage + exact refinement are resolution-invariant —
+    verified 47,299,920 pairs at hb 7/8/9/10). Pass ``half_bits`` to
+    override either way.
     """
-    from .join import radius_join_pairs, validate_points
+    from .join import (
+        MAX_HALF_BITS,
+        pick_half_bits,
+        radius_join_pairs,
+        validate_points,
+    )
+    from .geodesy import to_km
 
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if half_bits is None:
+        half_bits = min(pick_half_bits(to_km(float(eps), unit)) + 2,
+                        MAX_HALF_BITS)
     pts = validate_points(points).select("id", "latitude", "longitude")
     pairs = radius_join_pairs(
         pts, pts, eps, unit=unit, half_bits=half_bits, strategy=strategy,

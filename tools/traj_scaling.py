@@ -35,7 +35,13 @@ N_FIXES_STATS = 20_000_000
 N_ENTITIES = 500_000
 N_FIXES_FENCE = 4_000_000
 N_FIXES_COLOC = 1_000_000  # ~600-fix time windows at tau=300s, 1 fix/s
-JOBS = ("trajectory_stats", "geofence_visits", "co_location")
+# dbscan: 24 blobs (3-deg jitter boxes) + 20% background; ~20k pts/blob
+# -> avg eps=5km degree ~20 -> ~13M-row pair set driving degree count,
+# core-edge filter and star-contraction rounds
+N_POINTS_DBSCAN = 600_000
+DBSCAN_EPS_KM, DBSCAN_MIN_PTS = 5.0, 10
+JOBS = ("trajectory_stats", "geofence_visits", "co_location",
+        "spatial_dbscan")
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -54,6 +60,26 @@ def fixes(spark, n: int, parallelism: int):
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def blob_points(spark, n: int, parallelism: int):
+    """Deterministic clustered points for the dbscan workload: 24 blob
+    centers (>=10 deg lat / 15 deg lon apart), xxhash64-derived jitter
+    (bench fixture only — no oracle, so no md5 parity needed), 20%
+    uniform background."""
+    df = spark.range(0, n, 1, parallelism)
+    u0 = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 1000003) / 1000003.0
+    ua = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 1000003) / 1000003.0
+    ub = F.pmod(F.xxhash64(F.col("id"), F.lit(3)), 1000003) / 1000003.0
+    ci = F.floor(u0 * 30.0)
+    clat = (ci * 7) % 12 * F.lit(10.0) - F.lit(55.0)
+    clon = (ci * 13) % 24 * F.lit(15.0) - F.lit(172.5)
+    lat = F.when(u0 < 0.8, clat + (ua - 0.5) * 3.0) \
+        .otherwise((ua - 0.5) * 132.0)
+    lon = F.when(u0 < 0.8, clon + (ub - 0.5) * 3.0) \
+        .otherwise((ub - 0.5) * 356.0)
+    return df.select(F.col("id"), lat.alias("latitude"),
+                     lon.alias("longitude"))
 
 
 def bench_level(cores: int, reps: int) -> dict[str, float]:
@@ -78,18 +104,39 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         spark, 6, seed=11, half_width_scale=16.0
     ).withColumn("rings", F.array("ring")).drop("ring")
     co_src = fixes(spark, N_FIXES_COLOC, 64)
+    db_src = blob_points(spark, N_POINTS_DBSCAN, 64)
+
+    def run_dbscan():
+        # self-forcing: the operator persists its pair set and the CC
+        # fixpoint runs internal actions; release every engine-owned
+        # block between reps so reps measure identical cold work
+        from geoengine.clusters import spatial_dbscan
+
+        reg = []
+        force(spatial_dbscan(db_src, DBSCAN_EPS_KM, DBSCAN_MIN_PTS,
+                             cache_registry=reg))
+        for h in reg:
+            h.unpersist()
+
     jobs = {
         "trajectory_stats": lambda: trajectory_stats(st_src),
         "geofence_visits": lambda: geofence_visits(gf_src, fences),
         "co_location": lambda: co_location_pairs(co_src, 100.0, 300.0),
+        "spatial_dbscan": run_dbscan,
     }
     jobs = {k: v for k, v in jobs.items() if k in JOBS}
+
+    def run(fn) -> None:
+        r = fn()
+        if r is not None:  # self-forcing jobs return None
+            force(r)
+
     for name, fn in jobs.items():
-        force(fn())  # warmup (JIT/codegen/python workers)
+        run(fn)  # warmup (JIT/codegen/python workers)
         times = []
         for _ in range(reps):
             t0 = time.time()
-            force(fn())
+            run(fn)
             times.append(round(time.time() - t0, 2))
         out[name] = min(times)
         out[f"{name}_reps"] = times  # type: ignore[assignment]
@@ -103,7 +150,7 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--jobs", default="trajectory_stats,geofence_visits,"
-                    "co_location",
+                    "co_location,spatial_dbscan",
                     help="comma list to run a subset")
     ap.add_argument("--fence-fixes", type=int, default=None,
                     help="override N_FIXES_FENCE (bigger -> less "
@@ -141,7 +188,10 @@ def main() -> None:
     print(json.dumps({"summary": summary,
                       "n_fixes": {"trajectory_stats": N_FIXES_STATS,
                                   "geofence_visits": N_FIXES_FENCE,
-                                  "co_location": N_FIXES_COLOC},
+                                  "co_location": N_FIXES_COLOC,
+                                  "spatial_dbscan": N_POINTS_DBSCAN},
+                      "dbscan": {"eps_km": DBSCAN_EPS_KM,
+                                 "min_pts": DBSCAN_MIN_PTS},
                       "n_entities": N_ENTITIES}))
 
 
