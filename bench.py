@@ -325,6 +325,32 @@ def main() -> None:
         run("geofence_visits", lambda: geofence_visits(ev_fix, fences),
             target=secs_extra)
 
+        # spatial_dbscan over the gate's 24-blob fixture at a moderate
+        # density (eps=10 km -> avg degree ~15, ~1M-pair graph). Timed
+        # with its own loop: the operator persists its pair set and the
+        # CC fixpoint blocks, which MUST be released between reps so
+        # every rep measures identical cold work.
+        import __spark_entry__ as _entry
+        from geoengine.clusters import spatial_dbscan
+
+        db_pts = _entry._dbscan_points(spark, sf_dir)
+
+        def _dbscan_once() -> None:
+            reg = []
+            force(spatial_dbscan(db_pts, 10.0, 8, cache_registry=reg))
+            for h in reg:
+                h.unpersist()
+
+        if warm:
+            _dbscan_once()
+        _db_times = []
+        for _ in range(reps):
+            _t0 = time.time()
+            _dbscan_once()
+            _db_times.append(round(time.time() - _t0, 3))
+        rep_times["spatial_dbscan"] = _db_times
+        secs_extra["spatial_dbscan"] = sorted(_db_times)[0]
+
     total = round(sum(secs.values()), 3)
     rps = {
         "neighborhood_join_pairs_per_sec": round(n_pairs / secs["radius_join"], 1),

@@ -303,6 +303,37 @@ def dedup_documents(
     )
 
 
+# mean core degree above which grid contraction shrinks the component
+# graph enough to pay for its one extra scalar probe + relabel joins:
+# the contraction cell is sized so ~14 cells tile an eps-disc, so mean
+# degree d -> ~d/14 cores per cell -> >=2x node/edge reduction at d>=32
+CONTRACT_DEGREE_THRESHOLD = 32.0
+
+# great-circle distance between two points inside one (dlat x dlon) grid
+# cell is <= meridian leg + parallel leg <= KM_PER_DEG*(dlat + dlon)
+# (the parallel-arc leg at any latitude is <= its equator length); with
+# dlat = 180/n and dlon = 360/n the cell diameter is <= KM_PER_DEG*540/n
+_KM_PER_DEG = 111.19492664455873  # pi/180 * 6371.0 (engine R)
+_CONTRACT_NUM = _KM_PER_DEG * 540.0
+
+
+def contraction_half_bits(eps_km: float) -> int | None:
+    """Smallest half_bits whose worst-case cell DIAMETER (see
+    ``_CONTRACT_NUM``) is <= eps_km — any two points in one cell are then
+    provably within eps. None when no legal resolution exists (eps below
+    ~0.9 m at MAX_HALF_BITS)."""
+    import math
+
+    from .join import MAX_HALF_BITS, MIN_HALF_BITS
+
+    if eps_km <= 0:
+        return None
+    hb = math.ceil(math.log2(_CONTRACT_NUM / eps_km))
+    if hb > MAX_HALF_BITS:
+        return None
+    return max(MIN_HALF_BITS, hb)
+
+
 def spatial_dbscan(
     points: DataFrame,
     eps: float,
@@ -310,6 +341,7 @@ def spatial_dbscan(
     unit: str = "km",
     half_bits: int | None = None,
     strategy: str = "auto",
+    contract: bool | str = "auto",
     max_iter: int = 30,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
@@ -363,32 +395,76 @@ def spatial_dbscan(
     resolution (coverage + exact refinement are resolution-invariant —
     verified 47,299,920 pairs at hb 7/8/9/10). Pass ``half_bits`` to
     override either way.
+
+    Grid contraction (``contract``): with a contraction cell sized so
+    its worst-case DIAMETER is <= eps (:func:`contraction_half_bits`),
+    every pair of cores sharing a cell is provably within eps — so the
+    component graph can be contracted to one supernode per occupied cell
+    BEFORE the star-contraction loop, EXACTLY (same components, same
+    min-id labels; the cross-cell eps edges become the supercell edges).
+    This is the standard grid-based DBSCAN contraction and it shrinks
+    the CC input by ~(mean core degree)/14 — decisive on dense data,
+    pure overhead on sparse data where most cells hold one core.
+    ``"auto"`` (default) measures the mean core degree with one scalar
+    probe (an extra driver action — pairs materialize there instead of
+    inside CC) and contracts at >= ``CONTRACT_DEGREE_THRESHOLD``;
+    True/False force it. True raises if eps is too small for a legal
+    contraction grid (sub-meter); auto silently skips.
     """
     from .join import (
         MAX_HALF_BITS,
         pick_half_bits,
         radius_join_pairs,
         validate_points,
+        with_grid_cell,
     )
     from .geodesy import to_km
 
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if contract not in (True, False, "auto"):
+        raise ValueError(f"contract must be True/False/'auto', got {contract!r}")
+    eps_km = to_km(float(eps), unit)
     if half_bits is None:
-        half_bits = min(pick_half_bits(to_km(float(eps), unit)) + 2,
-                        MAX_HALF_BITS)
+        half_bits = min(pick_half_bits(eps_km) + 2, MAX_HALF_BITS)
+    hb_c = contraction_half_bits(eps_km) if contract in (True, "auto") else None
+    if contract is True and hb_c is None:
+        raise ValueError(
+            f"contract=True but eps={eps_km} km is below the finest legal "
+            "contraction grid (cell diameter <= eps needs half_bits > "
+            "MAX_HALF_BITS); pass contract=False or 'auto'"
+        )
+
     pts = validate_points(points).select("id", "latitude", "longitude")
+    if hb_c is not None:
+        # contraction candidate: carry each point's supercell through the
+        # join (pure Column — no extra pass, just 2 longs on the pair rows)
+        pts = with_grid_cell(pts, hb_c, out="scell")
     pairs = radius_join_pairs(
         pts, pts, eps, unit=unit, half_bits=half_bits, strategy=strategy,
         validate=False,
-    ).select("origin_id", "neighbor_id").persist()
+    ).select(
+        "origin_id", "neighbor_id",
+        *(["origin_scell", "neighbor_scell"] if hb_c is not None else []),
+    ).persist()
     if cache_registry is not None:
         cache_registry.append(pairs)
 
-    deg = pairs.groupBy("origin_id").agg(F.count("*").alias("n_eps"))
-    core = deg.where(F.col("n_eps") >= int(min_pts)).select(
-        F.col("origin_id").alias("cid")
-    )
+    deg_keys = ["origin_id"] + (["origin_scell"] if hb_c is not None else [])
+    deg = pairs.groupBy(*deg_keys).agg(F.count("*").alias("n_eps"))
+    core_rows = deg.where(F.col("n_eps") >= int(min_pts))
+    core = core_rows.select(F.col("origin_id").alias("cid"))
+
+    contract_on = False
+    if hb_c is not None:
+        if contract == "auto":
+            # one bounded scalar probe (pairs materialize here): mean core
+            # degree decides whether contraction shrinks the graph enough
+            mean_deg = core_rows.agg(F.avg("n_eps")).first()[0]
+            contract_on = (mean_deg is not None
+                           and mean_deg >= CONTRACT_DEGREE_THRESHOLD)
+        else:
+            contract_on = True
 
     nonself = pairs.where(F.col("origin_id") != F.col("neighbor_id"))
     core_edges = (
@@ -396,19 +472,50 @@ def spatial_dbscan(
         .join(core, nonself["origin_id"] == core["cid"], "left_semi")
         .join(core, nonself["neighbor_id"] == core["cid"], "left_semi")
     )
-    comp = connected_components(
-        core_edges, id1="origin_id", id2="neighbor_id", max_iter=max_iter,
-        cache_registry=cache_registry,
-    )
-    core_lab = (
-        core.join(comp, core["cid"] == comp["node"], "left")
-        # isolated core (no core neighbor): its own singleton cluster
-        .select(
-            F.col("cid").alias("id"),
-            F.coalesce("cluster_id", "cid").alias("cluster_id"),
-            F.lit(True).alias("is_core"),
+    if contract_on:
+        # supercell graph: cross-cell core-core eps edges only (same-cell
+        # cores are same-cluster by the diameter bound); CC canonicalizes
+        # and dedupes (least/greatest + distinct) so the raw edge stream
+        # can flow in unaggregated
+        super_edges = core_edges.where(
+            F.col("origin_scell") != F.col("neighbor_scell")
+        ).select("origin_scell", "neighbor_scell")
+        comp_s = connected_components(
+            super_edges, id1="origin_scell", id2="neighbor_scell",
+            max_iter=max_iter, cache_registry=cache_registry,
+        ).select(F.col("node").alias("_sc"), F.col("cluster_id").alias("_scomp"))
+        core_sc = (
+            core_rows.select(F.col("origin_id").alias("cid"),
+                             F.col("origin_scell").alias("scell"))
+            .join(comp_s, F.col("scell") == F.col("_sc"), "left")
+            # cell with no cross-cell edge: its own supercomponent
+            .withColumn("_scomp", F.coalesce("_scomp", "scell"))
         )
-    )
+        # deterministic label = MIN core id of the TRUE component (the
+        # supercomponent's member set == the uncontracted component's)
+        cl = core_sc.groupBy("_scomp").agg(F.min("cid").alias("_cl"))
+        core_lab = (
+            core_sc.join(cl, "_scomp")
+            .select(
+                F.col("cid").alias("id"),
+                F.col("_cl").alias("cluster_id"),
+                F.lit(True).alias("is_core"),
+            )
+        )
+    else:
+        comp = connected_components(
+            core_edges, id1="origin_id", id2="neighbor_id",
+            max_iter=max_iter, cache_registry=cache_registry,
+        )
+        core_lab = (
+            core.join(comp, core["cid"] == comp["node"], "left")
+            # isolated core (no core neighbor): its own singleton cluster
+            .select(
+                F.col("cid").alias("id"),
+                F.coalesce("cluster_id", "cid").alias("cluster_id"),
+                F.lit(True).alias("is_core"),
+            )
+        )
 
     # border points: non-core origins reaching >=1 core neighbor take the
     # MIN reachable core's cluster label (deterministic claim rule)

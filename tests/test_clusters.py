@@ -324,3 +324,77 @@ def test_dbscan_plan_no_cartesian_and_cache_released(spark):
     for h in reg:
         h.unpersist()
     assert _n_persistent(spark) <= before
+
+
+def test_dbscan_contract_invariance_blobs(spark):
+    """Grid contraction is EXACT: forced-on vs forced-off must emit
+    identical (is_core, cluster_id) for every point — blobs fixture has
+    multi-cell components so real cross-cell merging is exercised."""
+    rng = random.Random(11)
+    pts, i = [], 0
+    for cx, cy in [(10.0, 10.0), (12.0, 40.0), (-30.0, -60.0)]:
+        for _ in range(40):
+            pts.append((i, cx + rng.uniform(-0.7, 0.7),
+                        cy + rng.uniform(-0.7, 0.7)))
+            i += 1
+    for _ in range(20):
+        pts.append((i, rng.uniform(-80, 80), rng.uniform(-170, 170)))
+        i += 1
+    on = _dbscan_spark(spark, pts, 60.0, 5, contract=True)
+    off = _dbscan_spark(spark, pts, 60.0, 5, contract=False)
+    assert on == off
+    assert on == _brute_dbscan(pts, 60.0, 5)
+    # the fixture really spans multiple contraction cells per component
+    from geoengine.clusters import contraction_half_bits
+    from geoengine.join import with_grid_cell
+
+    hb_c = contraction_half_bits(60.0)
+    df = spark.createDataFrame(
+        pts, "id long, latitude double, longitude double"
+    )
+    n_cells = with_grid_cell(df, hb_c, out="sc").select("sc").distinct().count()
+    assert n_cells > 3  # more cells than clusters -> contraction non-trivial
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_dbscan_contract_invariance_random(spark, seed):
+    rng = random.Random(seed)
+    pts = [(i, rng.uniform(-70, 70), rng.uniform(-179, 179))
+           for i in range(100)]
+    on = _dbscan_spark(spark, pts, 900.0, 3, contract=True)
+    off = _dbscan_spark(spark, pts, 900.0, 3, contract=False)
+    assert on == off == _brute_dbscan(pts, 900.0, 3)
+
+
+def test_dbscan_contract_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0)], "id long, latitude double, longitude double"
+    )
+    from geoengine.clusters import contraction_half_bits, spatial_dbscan
+
+    # sub-meter eps: no legal contraction grid
+    assert contraction_half_bits(0.0005) is None
+    with pytest.raises(ValueError, match="contract=True"):
+        spatial_dbscan(df, 0.0005, 1, contract=True)
+    # auto silently skips; explicit off works; bogus value rejected
+    assert spatial_dbscan(df, 0.0005, 1).count() == 1
+    assert spatial_dbscan(df, 0.0005, 1, contract=False).count() == 1
+    with pytest.raises(ValueError, match="contract must be"):
+        spatial_dbscan(df, 1.0, 1, contract="yes")
+
+
+def test_dbscan_contraction_cell_diameter_bound():
+    """The contraction resolution really enforces diameter <= eps: the
+    meridian+parallel path bound at the chosen hb must be <= eps_km."""
+    from geoengine.clusters import _CONTRACT_NUM, contraction_half_bits
+
+    for eps in (0.01, 0.5, 5.0, 80.0, 2000.0):
+        hb = contraction_half_bits(eps)
+        assert hb is not None
+        assert _CONTRACT_NUM / (1 << hb) <= eps
+        # and one level coarser would violate the bound (minimal grid),
+        # unless clamped at MIN_HALF_BITS
+        from geoengine.join import MIN_HALF_BITS
+
+        if hb > MIN_HALF_BITS:
+            assert _CONTRACT_NUM / (1 << (hb - 1)) > eps

@@ -155,11 +155,17 @@ def main() -> None:
     ap.add_argument("--fence-fixes", type=int, default=None,
                     help="override N_FIXES_FENCE (bigger -> less "
                          "overhead-exposed geofence measurement)")
+    ap.add_argument("--dbscan-points", type=int, default=None,
+                    help="override N_POINTS_DBSCAN (the operator runs "
+                         "~15 sequential jobs — bigger amortizes the "
+                         "per-job fixed overhead)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
-    global N_FIXES_FENCE, JOBS
+    global N_FIXES_FENCE, N_POINTS_DBSCAN, JOBS
     if args.fence_fixes:
         N_FIXES_FENCE = args.fence_fixes
+    if args.dbscan_points:
+        N_POINTS_DBSCAN = args.dbscan_points
     JOBS = tuple(args.jobs.split(","))
 
     best: dict[tuple[str, int], float] = {}
