@@ -1631,22 +1631,138 @@ def q_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IDW_K, IDW_POWER = 8, 2
+KDE_BW_KM, KDE_HB = 100.0, 7
+
+
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation (interpolate.py): predict customer
+    account balance at each supplier location from the k=8 nearest
+    customers within RADIUS_KM — the certified radius join + the
+    reference's deterministic (distance, id) top-k rule + a 1/d^2
+    weighted average (exact multiplication chains, no pow(), so the
+    DuckDB twin performs the identical IEEE op sequence). Zero-distance
+    samples (acos clamps to exact 0 when the cosine argument computes
+    to exactly 1) divert to the plain-average singularity rule BEFORE
+    the division — in both engines."""
+    from geoengine.datasets import MULTS, load, with_point
+    from geoengine.interpolate import idw_interpolate
+
+    a, b = MULTS["customer"]
+    cust = with_point(load(spark, sf_dir, "customer"), "c_custkey", a, b)
+    samples = cust.select(
+        F.col("c_custkey").alias("id"), "latitude", "longitude",
+        F.col("c_acctbal").alias("val"),
+    )
+    out = idw_interpolate(
+        datasets.supplier_points(spark, sf_dir), samples, "val",
+        RADIUS_KM, k=IDW_K, power=IDW_POWER,
+    )
+    return out.select(
+        F.col("id").alias("origin_id"),
+        F.round("predicted", 6).alias("predicted"),
+        "n_samples",
+        F.round("nearest_km", 6).alias("nearest_km"),
+    )
+
+
+def _sql_idw_interpolate() -> str:
+    from geoengine.interpolate import sql_inv_power_weight
+
+    d = exprs.sql_dist_km("s.lat", "s.lon", "c.lat", "c.lon")
+    w = sql_inv_power_weight("dist", IDW_POWER)
+    return f"""
+        WITH c AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon,
+                          c_acctbal AS val FROM customer),
+             s AS (SELECT s_suppkey AS id, {_S_LAT} AS lat, {_S_LON} AS lon
+                   FROM supplier),
+        cand AS (
+            SELECT s.id AS origin_id, c.val AS val, {d} AS dist,
+                   row_number() OVER (PARTITION BY s.id
+                                      ORDER BY {d} ASC, c.id ASC) AS rn
+            FROM s CROSS JOIN c
+            WHERE {d} <= {_D(RADIUS_KM)}
+        )
+        SELECT origin_id,
+               round(coalesce(
+                   avg(CASE WHEN dist = 0.0e0 THEN val END),
+                   sum(CASE WHEN dist > 0.0e0 THEN val * {w} END)
+                 / sum(CASE WHEN dist > 0.0e0 THEN {w} END)), 6) AS predicted,
+               count(*) AS n_samples,
+               round(min(dist), 6) AS nearest_km
+        FROM cand
+        WHERE rn <= {IDW_K}
+        GROUP BY origin_id
+    """
+
+
+def q_kde_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell Gaussian kernel density (interpolate.py): density at
+    each occupied cell's center from the events within 3*bandwidth —
+    the truncation makes it a bounded radius join, never all-pairs; the
+    kernel exponent divides by a Python-computed literal shared
+    verbatim with the SQL twin, and exp's cross-engine 1-ulp drift is
+    absorbed by 6dp rounding (bounded sums of <=1 terms)."""
+    from geoengine.interpolate import kde_cells
+
+    pts = datasets.event_points(spark, sf_dir).select(
+        "id", "latitude", "longitude"
+    )
+    out = kde_cells(pts, KDE_BW_KM, KDE_HB)
+    return out.select(
+        "cell",
+        F.round("center_lat", 6).alias("center_lat"),
+        F.round("center_lon", 6).alias("center_lon"),
+        F.round("density", 6).alias("density"),
+        "n_points",
+    )
+
+
+def _sql_kde_cells() -> str:
+    hb, n = KDE_HB, 1 << KDE_HB
+    ix = exprs.sql_grid_ix("p.lon", hb)
+    iy = exprs.sql_grid_iy("p.lat", hb)
+    key = exprs.sql_grid_key(ix, iy, hb)
+    cla = exprs.sql_grid_center_lat(f"(cell & {n - 1})", hb)
+    clo = exprs.sql_grid_center_lon(f"(cell >> {hb})", hb)
+    d = exprs.sql_dist_km("g.cla", "g.clo", "p.lat", "p.lon")
+    two_bw2 = _D(2.0 * KDE_BW_KM * KDE_BW_KM)
+    cutoff = _D(3.0 * KDE_BW_KM)
+    return f"""
+        WITH p AS (SELECT event_id AS id, {_E_LAT} AS lat, {_E_LON} AS lon
+                   FROM events),
+        cells AS (SELECT DISTINCT {key} AS cell FROM p),
+        g AS (SELECT cell, {cla} AS cla, {clo} AS clo FROM cells)
+        SELECT g.cell AS cell,
+               round(g.cla, 6) AS center_lat,
+               round(g.clo, 6) AS center_lon,
+               round(sum(exp(-({d} * {d}) / {two_bw2})), 6) AS density,
+               count(*) AS n_points
+        FROM g CROSS JOIN p
+        WHERE {d} <= {cutoff}
+        GROUP BY g.cell, g.cla, g.clo
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window policy: the grading driver certifies (at most) the
 # FIRST 50 entries of this dict, in insertion order. Entries 51+ are the
 # rotation bench; the window ROTATES each round so no query's latest
 # driver row ages past ~2 rounds. Round-5 rotation: the 14 queries parked
-# in r04 (last driver row r03) move back inside; the 14 round-5-new/
-# changed queries lead (spatial_dbscan; dedup_clusters; the trajectory
-# family — segments/stats/geofence/co-location/contact-summary/OD-flows/
+# in r04 (last driver row r03) move back inside; the 16 round-5-new/
+# changed queries lead (spatial_dbscan; idw_interpolate + kde_cells —
+# spatial field estimation; dedup_clusters; the trajectory family —
+# segments/stats/geofence/co-location/contact-summary/OD-flows/
 # dwell; hot spots; streaming geofence; the image/embedding dedup
-# compositions; radius_per_row with per-row units); 27 queries each
+# compositions; radius_per_row with per-row units); 29 queries each
 # driver-green in >=2 rounds (r03+r04 or more) park at 51+.
 # tools/check_oracle.py still covers ALL entries every round.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
     "spatial_dbscan": q_spatial_dbscan,
+    "idw_interpolate": q_idw_interpolate,
+    "kde_cells": q_kde_cells,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -2073,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     out = {
+        "idw_interpolate": _sql_idw_interpolate(),
+        "kde_cells": _sql_kde_cells(),
         "pip": _sql_pip(),
         "pip_multi": _sql_pip_multi(),
         "pip_holes": _sql_pip_holes(),

@@ -106,6 +106,28 @@ def sql_grid_key(ix: str, iy: str, half_bits: int) -> str:
     return f"({ix} * {1 << half_bits} + {iy})"
 
 
+def grid_center_lon(ix: Column, half_bits: int) -> Column:
+    """Center longitude of grid column ix (inverse of grid_ix; op order
+    mirrored verbatim by the SQL twin for IEEE parity)."""
+    n = 1 << half_bits
+    return (ix.cast("double") + 0.5) * (360.0 / n) - 180.0
+
+
+def grid_center_lat(iy: Column, half_bits: int) -> Column:
+    n = 1 << half_bits
+    return (iy.cast("double") + 0.5) * (180.0 / n) - 90.0
+
+
+def sql_grid_center_lon(ix: str, half_bits: int) -> str:
+    n = 1 << half_bits
+    return f"((CAST({ix} AS DOUBLE) + 0.5e0) * {_d(360.0 / n)} - 180.0e0)"
+
+
+def sql_grid_center_lat(iy: str, half_bits: int) -> str:
+    n = 1 << half_bits
+    return f"((CAST({iy} AS DOUBLE) + 0.5e0) * {_d(180.0 / n)} - 90.0e0)"
+
+
 # --------------------------------------------------------------------------
 # interleaved cell id (binary-geohash, lon bit first) as pure arithmetic —
 # bit i of ix lands at 2i+1, bit i of iy at 2i. Codegen'd 2*half_bits terms.
