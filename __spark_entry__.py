@@ -1813,10 +1813,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "nosql_view": q_nosql_view,
-    "json_props": q_json_props,
-    "stratified_sample": q_stratified_sample,
     # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
     # local-twin coverage every round) --
+    "json_props": q_json_props,
+    "stratified_sample": q_stratified_sample,
     "radius_orphans": q_radius_orphans,
     "latest_per_user": q_latest_per_user,
     "ngram_jaccard": q_ngram_jaccard,
