@@ -1812,9 +1812,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
-    "nosql_view": q_nosql_view,
     # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
     # local-twin coverage every round) --
+    "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
     "radius_orphans": q_radius_orphans,
