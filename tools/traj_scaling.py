@@ -40,8 +40,15 @@ N_FIXES_COLOC = 1_000_000  # ~600-fix time windows at tau=300s, 1 fix/s
 # core-edge filter and star-contraction rounds
 N_POINTS_DBSCAN = 600_000
 DBSCAN_EPS_KM, DBSCAN_MIN_PTS = 5.0, 10
+# field estimation: samples/points from the same blob fixture; IDW
+# interpolates a key-derived value at uniform query points (k=8 within
+# 100 km), KDE evaluates the truncated Gaussian on the hb-7 grid
+N_SAMPLES_FIELD = 4_000_000
+N_QUERIES_IDW = 200_000
+IDW_RADIUS_KM, IDW_K = 100.0, 8
+KDE_BW_KM, KDE_HB = 100.0, 7
 JOBS = ("trajectory_stats", "geofence_visits", "co_location",
-        "spatial_dbscan")
+        "spatial_dbscan", "idw_interpolate", "kde_cells")
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -118,11 +125,31 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         for h in reg:
             h.unpersist()
 
+    from geoengine.interpolate import idw_interpolate, kde_cells
+
+    fld_src = blob_points(spark, N_SAMPLES_FIELD, 64)
+    idw_samples = fld_src.withColumn(
+        "val", F.pmod(F.xxhash64(F.col("id"), F.lit(9)), 10007) / 10.0
+    )
+    idw_queries = (
+        spark.range(0, N_QUERIES_IDW, 1, 64)
+        .select(
+            F.col("id"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(11)), 1000003)
+             / 1000003.0 * 170.0 - 85.0).alias("latitude"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(12)), 1000003)
+             / 1000003.0 * 356.0 - 178.0).alias("longitude"),
+        )
+    )
+
     jobs = {
         "trajectory_stats": lambda: trajectory_stats(st_src),
         "geofence_visits": lambda: geofence_visits(gf_src, fences),
         "co_location": lambda: co_location_pairs(co_src, 100.0, 300.0),
         "spatial_dbscan": run_dbscan,
+        "idw_interpolate": lambda: idw_interpolate(
+            idw_queries, idw_samples, "val", IDW_RADIUS_KM, k=IDW_K),
+        "kde_cells": lambda: kde_cells(fld_src, KDE_BW_KM, KDE_HB),
     }
     jobs = {k: v for k, v in jobs.items() if k in JOBS}
 
