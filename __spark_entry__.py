@@ -488,6 +488,41 @@ def q_pip_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (pip.zonal_stats): per-fixture-polygon
+    count/sum/avg/min/max of customer account balance — the certified
+    cell-prefiltered ray-cast join + one hash aggregate on the polygon
+    key. The oracle inlines every ring's edges, recomputes the even-odd
+    membership per (point, polygon) and aggregates the same
+    double-cast value."""
+    from geoengine.fixtures import polygons_table
+    from geoengine.pip import zonal_stats
+
+    polys = polygons_table(
+        spark, PIP_MULTI_N, seed=PIP_MULTI_SEED,
+        half_width_scale=PIP_MULTI_SCALE,
+    ).withColumn("rings", F.array(F.col("ring"))).drop("ring")
+    from geoengine.datasets import MULTS, load, with_point
+
+    a, b = MULTS["customer"]
+    pts = with_point(load(spark, sf_dir, "customer"), "c_custkey", a, b).select(
+        F.col("c_custkey").alias("id"), "latitude", "longitude",
+        F.col("c_acctbal").alias("val"),
+    )
+    out = zonal_stats(pts, polys, value_col="val")
+    return out.select(
+        "poly_id", "n_points",
+        # sums over thousands of +/-1e4-magnitude doubles carry ~1e-7
+        # cross-engine reassociation drift -> 3dp (the big-set rule in
+        # the build notes); avg divides that drift back down by n and
+        # min/max are selections (bit-identical), so those stay at 6dp
+        F.round("sum_val", 3).alias("sum_val"),
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
 PIP_HOLES_N, PIP_HOLES_SEED, PIP_HOLES_SCALE = 6, 9, 8.0
 
 
@@ -1605,6 +1640,26 @@ def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moran_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin LISA) per occupied grid cell — the
+    cluster/outlier companion to hotspot_cells (binary ring weights
+    EXCLUDING self, occupied-cell frame; semantics documented in
+    index.local_moran_i). The oracle recomputes the histogram, the
+    self-excluded Chebyshev contribution join, the population-variance
+    m2 and the (z * lag) / m2 product with identical double op order,
+    plus the HH/LL/HL/LH quadrant casing."""
+    from geoengine.index import local_moran_i
+
+    pts = datasets.event_points(spark, sf_dir)
+    out = local_moran_i(pts, HOTSPOT_HB, ring=HOTSPOT_RING)
+    return out.select(
+        "ix", "iy", "n_points", "w",
+        F.round("lag", 6).alias("lag"),
+        F.round("moran_i", 6).alias("moran_i"),
+        "quadrant",
+    )
+
+
 def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call EMBEDDING corpus dedup (similarity.dedup_embeddings —
     the semantic arm, next to dedup_documents and dedup_images): exact
@@ -1753,16 +1808,19 @@ def _sql_kde_cells() -> str:
 # changed queries lead (spatial_dbscan; idw_interpolate + kde_cells —
 # spatial field estimation; dedup_clusters; the trajectory family —
 # segments/stats/geofence/co-location/contact-summary/OD-flows/
-# dwell; hot spots; streaming geofence; the image/embedding dedup
-# compositions; radius_per_row with per-row units); 29 queries each
-# driver-green in >=2 rounds (r03+r04 or more) park at 51+.
-# tools/check_oracle.py still covers ALL entries every round.
+# dwell; hot spots + local Moran; zonal stats; streaming geofence; the
+# image/embedding dedup compositions; radius_per_row with per-row
+# units); 31 queries each driver-green in >=2 rounds (r02-r04 or more)
+# park at 51+. tools/check_oracle.py still covers ALL entries every
+# round.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
     "spatial_dbscan": q_spatial_dbscan,
     "idw_interpolate": q_idw_interpolate,
     "kde_cells": q_kde_cells,
+    "moran_cells": q_moran_cells,
+    "zonal_stats": q_zonal_stats,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1804,8 +1862,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
     "radius_pairs_prefix": q_radius_pairs_prefix,
-    "streaming_tiles": q_streaming_tiles,
-    "streaming_user_totals": q_streaming_user_totals,
     "streaming_radius": q_streaming_radius,
     "streaming_dedup": q_streaming_dedup,
     "snapshot_search": q_snapshot_search,
@@ -1814,6 +1870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     # -- 51+: rotation bench (driver-green in >=2 rounds incl. r04;
     # local-twin coverage every round) --
+    "streaming_tiles": q_streaming_tiles,
+    "streaming_user_totals": q_streaming_user_totals,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -1882,6 +1940,45 @@ def _sql_pip() -> str:
                WHERE ((e.yj > p.lat) != (e.yk > p.lat))
                  AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
                               / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+    """
+
+
+def _sql_zonal_stats() -> str:
+    """Even-odd membership per (customer, fixture polygon) with every
+    ring's edges inlined (identical arithmetic to _sql_pip_multi), then
+    the same double-cast aggregate set zonal_stats computes."""
+    from geoengine.fixtures import polygon_rings
+
+    edges = []
+    for pid, ring in polygon_rings(PIP_MULTI_N, PIP_MULTI_SEED,
+                                   PIP_MULTI_SCALE):
+        k = len(ring)
+        for j in range(k):
+            yj, xj = ring[j]
+            yk, xk = ring[(j - 1) % k]
+            edges.append(f"('{pid}', {_D(yj)}, {_D(xj)}, {_D(yk)}, {_D(xk)})")
+    vals = ", ".join(edges)
+    return f"""
+        WITH pts AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon,
+                            CAST(c_acctbal AS DOUBLE) AS val
+                     FROM customer),
+        edges(pid, yj, xj, yk, xk) AS (VALUES {vals}),
+        polys AS (SELECT DISTINCT pid FROM edges),
+        hit AS (
+            SELECT g.pid, p.val
+            FROM pts p CROSS JOIN polys g
+            WHERE (SELECT count(*) FROM edges e
+                   WHERE e.pid = g.pid
+                     AND ((e.yj > p.lat) != (e.yk > p.lat))
+                     AND (p.lon < (e.xk - e.xj) * (p.lat - e.yj)
+                                  / (e.yk - e.yj + 1e-300) + e.xj)) % 2 = 1
+        )
+        SELECT pid AS poly_id, count(*) AS n_points,
+               round(sum(val), 3) AS sum_val,
+               round(avg(val), 6) AS avg_val,
+               round(min(val), 6) AS min_val,
+               round(max(val), 6) AS max_val
+        FROM hit GROUP BY pid
     """
 
 
@@ -2695,6 +2792,56 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN st
             )
         """,
+        # Local Moran's I: identical histogram, SELF-EXCLUDED Chebyshev
+        # contribution join (LEFT, so islands keep w=0 / NULL lag), the
+        # population-variance m2 and the (z * lag) / m2 product in the
+        # exact double op order index.local_moran_i uses
+        "moran_cells": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events),
+            cells AS (
+                SELECT {exprs.sql_grid_ix('lon', HOTSPOT_HB)} AS ix,
+                       {exprs.sql_grid_iy('lat', HOTSPOT_HB)} AS iy,
+                       count(*) AS n_points
+                FROM pts GROUP BY 1, 2
+            ),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS nc,
+                          CAST(sum(n_points) AS DOUBLE) AS tot,
+                          CAST(sum(n_points * n_points) AS DOUBLE) AS ssq
+                   FROM cells),
+            contrib AS (
+                SELECT (((ix + dx) % {1 << HOTSPOT_HB}) + {1 << HOTSPOT_HB})
+                           % {1 << HOTSPOT_HB} AS cix,
+                       iy + dy AS ciy, n_points
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dxs(dx),
+                     (VALUES (-1), (0), (1)) dys(dy)
+                WHERE NOT (dx = 0 AND dy = 0)
+                  AND iy + dy >= 0 AND iy + dy < {1 << HOTSPOT_HB}
+            ),
+            nb AS (SELECT cix, ciy, sum(n_points) AS lag_sum, count(*) AS w
+                   FROM contrib GROUP BY 1, 2)
+            SELECT ix, iy, n_points, w,
+                   round(lag, 6) AS lag,
+                   round(CASE WHEN m2 > 0.0e0 THEN (z * lag) / m2 END, 6)
+                       AS moran_i,
+                   CASE WHEN m2 > 0.0e0 AND z <> 0.0e0 AND lag <> 0.0e0
+                        THEN (CASE WHEN z > 0.0e0 THEN 'H' ELSE 'L' END)
+                             || (CASE WHEN lag > 0.0e0 THEN 'H' ELSE 'L' END)
+                   END AS quadrant
+            FROM (
+                SELECT c.ix, c.iy, c.n_points,
+                       coalesce(nb.w, 0) AS w,
+                       CAST(c.n_points AS DOUBLE) - st.tot / st.nc AS z,
+                       CAST(nb.lag_sum AS DOUBLE)
+                           - CAST(nb.w AS DOUBLE) * (st.tot / st.nc) AS lag,
+                       st.ssq / st.nc
+                           - (st.tot / st.nc) * (st.tot / st.nc) AS m2
+                FROM cells c
+                LEFT JOIN nb ON c.ix = nb.cix AND c.iy = nb.ciy
+                CROSS JOIN st
+            )
+        """,
+        "zonal_stats": _sql_zonal_stats(),
         # transitive closure of the all-pairs cosine>=0.95 graph — the
         # third independent pair graph the cluster/keeper machinery is
         # certified on (word-Jaccard text, phash image, cosine embedding)

@@ -388,3 +388,103 @@ def getis_ord_gi_star(
         "ix", "iy", "n_points", "sum_x", "w",
         F.when(nn > 1.0, F.when(denom > 0.0, z)).alias("gi_z"),
     )
+
+
+def local_moran_i(
+    points: DataFrame,
+    half_bits: int,
+    ring: int = 1,
+    lat: str = "latitude",
+    lon: str = "longitude",
+) -> DataFrame:
+    """Local Moran's I (Anselin LISA) per occupied grid cell — the
+    cluster/outlier companion to :func:`getis_ord_gi_star`: where Gi*
+    asks "is this neighborhood's TOTAL unusually high?", local Moran
+    asks "does this cell AGREE with its neighbors?" and classifies the
+    significant cells into HH/LL clusters and HL/LH spatial outliers.
+
+        I_i = (x_i - mean) * sum_{j in ring, j != i}(x_j - mean) / m2,
+        m2  = population variance of the occupied-cell counts
+
+    Same frame semantics as Gi* (documented there): the study frame is
+    the OCCUPIED cells, x_j are per-cell point counts, and the weight
+    matrix is binary over the (2*ring+1)^2 - 1 Chebyshev neighborhood
+    EXCLUDING self (Gi* includes it — the defining difference between
+    the two statistics). Longitude wraps modulo the grid; latitude
+    neighbors past the pole rows are absent.
+
+    Output: (ix, iy, n_points, w, lag, moran_i, quadrant). ``lag`` is
+    the neighbors' summed deviation sum_j(x_j - mean); ``quadrant`` is
+    'HH'/'LL' (cluster) or 'HL'/'LH' (outlier) by the signs of the
+    cell's own deviation and the lag, NULL when either is exactly 0.
+    ``moran_i``/``lag``/``quadrant`` are NULL for an isolated cell
+    (w == 0 — an island has no lag, per the usual LISA convention) and
+    ``moran_i``/``quadrant`` also when m2 == 0 (constant frame).
+
+    100-TB posture: identical to Gi* — one groupBy to the cell
+    histogram, one bounded explode + groupBy over CELLS, one broadcast
+    1-row stats frame; cost scales with occupied cells, not points.
+    """
+    n = 1 << half_bits
+    cells = (
+        validate_points(points, lat, lon)
+        .select(
+            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
+            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    stats = cells.agg(
+        F.count("*").alias("_n_cells"),
+        F.sum("n_points").alias("_total"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
+    )
+    offs = list(range(-ring, ring + 1))
+    contrib = (
+        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .where(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
+        .select(
+            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
+            (F.col("iy") + F.col("_dy")).alias("ciy"),
+            "n_points",
+        )
+        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
+        .groupBy("cix", "ciy")
+        .agg(
+            F.sum("n_points").alias("_lag_sum"),
+            F.count("*").alias("_w"),
+        )
+    )
+    # LEFT join: a cell whose whole ring is unoccupied has no contrib row
+    # at all (self is excluded) -> NULL _w marks the island
+    out = (
+        cells.join(
+            contrib,
+            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
+            "left",
+        )
+        .drop("cix", "ciy")
+        .crossJoin(F.broadcast(stats))
+    )
+    nn = F.col("_n_cells").cast("double")
+    mean = F.col("_total").cast("double") / nn
+    m2 = F.col("_sumsq").cast("double") / nn - mean * mean
+    z = F.col("n_points").cast("double") - mean
+    lag = F.col("_lag_sum").cast("double") - F.col("_w").cast("double") * mean
+    moran = F.when(m2 > 0.0, (z * lag) / m2)  # guard before ANSI divide
+    quadrant = F.when(
+        (m2 > 0.0) & (z != 0.0) & (lag != 0.0),
+        F.concat(
+            F.when(z > 0.0, F.lit("H")).otherwise(F.lit("L")),
+            F.when(lag > 0.0, F.lit("H")).otherwise(F.lit("L")),
+        ),
+    )
+    return out.select(
+        "ix", "iy", "n_points",
+        F.coalesce(F.col("_w"), F.lit(0)).alias("w"),
+        lag.alias("lag"),
+        moran.alias("moran_i"),
+        quadrant.alias("quadrant"),
+    )

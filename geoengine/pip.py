@@ -323,3 +323,46 @@ def points_in_polygons(
         points, multi, half_bits=half_bits,
         point_id=point_id, poly_id=poly_id,
     )
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_col: str | None = None,
+    half_bits: int = 8,
+    point_id: str = "id",
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of the points inside it
+    (the classic GIS "summarize a field by zone" operation) — a pure
+    composition of the certified cell-prefiltered ray-cast join
+    (:func:`points_in_multipolygons`) and one hash aggregate on the
+    polygon key.
+
+    Output: (poly_id, n_points) plus, when ``value_col`` is given,
+    (sum_val, avg_val, min_val, max_val) over that POINT column cast to
+    double. Inner semantics: polygons containing no points are absent —
+    left-join the polygon table downstream if empty zones must surface
+    as NULL/0 rows (same contract as interpolate.idw_interpolate).
+
+    100-TB posture: the PIP join's cost model applies unchanged (slim
+    covering broadcast, bbox prefilter before Arrow, geometry attached
+    once per distinct shape); the aggregate adds one map-side-combining
+    shuffle keyed on poly_id — bounded by the zone count, not by points.
+    """
+    keep = (value_col,) if value_col else ()
+    pairs = points_in_multipolygons(
+        points, polygons, half_bits=half_bits, point_id=point_id,
+        poly_id=poly_id, rings_col=rings_col, keep=keep,
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    if value_col:
+        v = F.col(value_col).cast("double")
+        aggs += [
+            F.sum(v).alias("sum_val"),
+            F.avg(v).alias("avg_val"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+        ]
+    return pairs.groupBy(poly_id).agg(*aggs)

@@ -1,10 +1,11 @@
-"""Getis-Ord Gi* hot-spot detection (index.getis_ord_gi_star):
-handcrafted grids with a numpy twin of the exact formula."""
+"""Getis-Ord Gi* hot-spot detection and local Moran's I
+(index.getis_ord_gi_star / local_moran_i): handcrafted grids with
+numpy twins of the exact formulas."""
 
 import numpy as np
 import pytest
 
-from geoengine.index import getis_ord_gi_star
+from geoengine.index import getis_ord_gi_star, local_moran_i
 
 
 def _pts(spark, coords):
@@ -84,3 +85,91 @@ class TestGetisOrd:
         got = getis_ord_gi_star(_pts(spark, [(10.0, 10.0)] * 4), 4).collect()
         assert len(got) == 1
         assert got[0]["gi_z"] is None and got[0]["sum_x"] == 4
+
+
+def _moran_twin(cells: dict, n: int, ring: int = 1):
+    """cells: {(ix,iy): count} -> {(ix,iy): (w, lag|None, I|None, quad)}."""
+    xs = np.array(list(cells.values()), dtype=float)
+    mean = xs.mean()
+    m2 = (xs * xs).mean() - mean * mean
+    out = {}
+    for (ix, iy), x in cells.items():
+        lag_sum = w = 0
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                k = ((ix + dx) % n, iy + dy)
+                if k in cells:
+                    lag_sum += cells[k]
+                    w += 1
+        z = x - mean
+        lag = lag_sum - w * mean if w > 0 else None
+        moran = (z * lag) / m2 if (m2 > 0 and lag is not None) else None
+        quad = None
+        if m2 > 0 and lag is not None and z != 0 and lag != 0:
+            quad = ("H" if z > 0 else "L") + ("H" if lag > 0 else "L")
+        out[(ix, iy)] = (w, lag, moran, quad)
+    return out
+
+
+class TestLocalMoran:
+    def test_values_match_numpy_twin(self, spark):
+        hb, n = 4, 16
+        rng = np.random.default_rng(4)
+        coords = [(float(rng.uniform(-85, 85)), float(rng.uniform(-179, 179)))
+                  for _ in range(300)]
+        # a hot block (HH core) and a lone spike in a cold area (HL)
+        coords += [(40.0 + float(rng.uniform(0, 3)),
+                    40.0 + float(rng.uniform(0, 3)))] * 90
+        coords += [(-70.0, -100.0)] * 40
+        got = {
+            (r["ix"], r["iy"]): r
+            for r in local_moran_i(_pts(spark, coords), hb).collect()
+        }
+        cells: dict = {}
+        for la, lo in coords:
+            ix = int((lo + 180.0) / 360.0 * n)
+            iy = int((la + 90.0) / 180.0 * n)
+            cells[(ix, iy)] = cells.get((ix, iy), 0) + 1
+        want = _moran_twin(cells, n)
+        assert set(got) == set(want)
+        quads = set()
+        for k, (w, lag, moran, quad) in want.items():
+            r = got[k]
+            assert r["w"] == w, k
+            if lag is None:
+                assert r["lag"] is None, k
+            else:
+                assert r["lag"] == pytest.approx(lag, rel=1e-9), k
+            if moran is None:
+                assert r["moran_i"] is None, k
+            else:
+                assert r["moran_i"] == pytest.approx(moran, rel=1e-9), k
+            assert r["quadrant"] == quad, k
+            quads.add(quad)
+        assert "HH" in quads and "LL" in quads  # fixture exercises clusters
+
+    def test_island_and_wrap(self, spark):
+        # two cells adjacent only ACROSS the antimeridian + one island
+        coords = [(0.0, -179.0)] * 6 + [(0.0, 179.9)] * 2 + [(60.0, 0.0)] * 4
+        got = {
+            (r["ix"], r["iy"]): r
+            for r in local_moran_i(_pts(spark, coords), 4).collect()
+        }
+        n = 16
+        island = got[(int(180.0 / 360.0 * n), int(150.0 / 180.0 * n))]
+        assert island["w"] == 0
+        assert island["lag"] is None and island["moran_i"] is None
+        assert island["quadrant"] is None
+        pair = [r for r in got.values() if r["w"] == 1]
+        assert len(pair) == 2  # each sees exactly the other, through the wrap
+
+    def test_constant_frame_is_null(self, spark):
+        # equal counts everywhere -> m2 == 0 -> moran/quadrant NULL, lag 0
+        coords = [(0.0, 10.0)] * 3 + [(0.0, 30.0)] * 3
+        got = local_moran_i(_pts(spark, coords), 4).collect()
+        assert len(got) == 2
+        for r in got:
+            assert r["moran_i"] is None and r["quadrant"] is None
+            assert r["lag"] == pytest.approx(0.0)

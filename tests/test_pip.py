@@ -222,3 +222,71 @@ def test_antimeridian_polygon_matches_shifted_bruteforce(spark):
     )
     assert cov.select("gx").distinct().count() <= 6
     assert cov.count() <= 6 * 10  # x-extent times the ~8-cell lat span
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    """zonal_stats == brute PIP membership + pandas groupby aggregates
+    (count/sum/avg/min/max of a point value, cast to double)."""
+    from pyspark.sql import functions as F
+
+    from geoengine.pip import zonal_stats
+
+    polys = fixtures.polygons_table(spark, 10, seed=7)
+    rng = np.random.default_rng(8)
+    pts = pd.DataFrame(
+        {
+            "id": [f"p{i}" for i in range(1500)],
+            "latitude": rng.uniform(-70, 70, 1500),
+            "longitude": rng.uniform(-160, 160, 1500),
+            "val": np.round(rng.uniform(-500, 500, 1500), 2),
+        }
+    )
+    multi = polys.withColumn("rings", F.array(F.col("ring"))).drop("ring")
+    got = {
+        r["poly_id"]: r
+        for r in zonal_stats(
+            spark.createDataFrame(pts), multi, value_col="val"
+        ).collect()
+    }
+
+    polys_pd = polys.toPandas()
+    want: dict = {}
+    for _, pr in polys_pd.iterrows():
+        rl = np.array([v["lat"] for v in pr["ring"]])
+        rn = np.array([v["lon"] for v in pr["ring"]])
+        hits = point_in_ring(
+            pts["latitude"].to_numpy(), pts["longitude"].to_numpy(), rl, rn
+        )
+        vals = pts["val"].to_numpy()[hits]
+        if len(vals):
+            want[pr["poly_id"]] = vals
+    assert set(got) == set(want)
+    assert len(want) > 0
+    import pytest
+
+    for pid, vals in want.items():
+        r = got[pid]
+        assert r["n_points"] == len(vals)
+        assert r["sum_val"] == pytest.approx(vals.sum(), rel=1e-12)
+        assert r["avg_val"] == pytest.approx(vals.mean(), rel=1e-12)
+        assert r["min_val"] == vals.min() and r["max_val"] == vals.max()
+
+
+def test_zonal_stats_count_only(spark):
+    """Without value_col the output is just (poly_id, n_points)."""
+    from geoengine.pip import zonal_stats
+
+    polys = spark.createDataFrame(
+        [("sq", [[{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                  {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}]])],
+        schema="poly_id string, "
+               "rings array<array<struct<lat:double, lon:double>>>",
+    )
+    pts = spark.createDataFrame(
+        [("a", 5.0, 5.0), ("b", 1.0, 9.0), ("c", 50.0, 5.0)],
+        "id string, latitude double, longitude double",
+    )
+    rows = zonal_stats(pts, polys).collect()
+    assert len(rows) == 1
+    assert rows[0]["poly_id"] == "sq" and rows[0]["n_points"] == 2
+    assert set(rows[0].asDict()) == {"poly_id", "n_points"}
