@@ -1660,6 +1660,25 @@ def q_moran_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moran_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I — the single-number spatial-autocorrelation
+    test with its analytic normality z-score (index.global_moran_i;
+    same self-excluded binary ring frame as moran_cells, so S1=2W and
+    S2=4*sum(w_i^2) exactly). One output row; the oracle recomputes
+    every aggregate and the I / E[I] / VarN(I) / z chain with identical
+    double op order."""
+    from geoengine.index import global_moran_i
+
+    pts = datasets.event_points(spark, sf_dir)
+    out = global_moran_i(pts, HOTSPOT_HB, ring=HOTSPOT_RING)
+    return out.select(
+        "n_cells", "w_sum",
+        F.round("moran_i", 6).alias("moran_i"),
+        F.round("e_i", 6).alias("e_i"),
+        F.round("z_norm", 6).alias("z_norm"),
+    )
+
+
 def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call EMBEDDING corpus dedup (similarity.dedup_embeddings —
     the semantic arm, next to dedup_documents and dedup_images): exact
@@ -1820,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_interpolate": q_idw_interpolate,
     "kde_cells": q_kde_cells,
     "moran_cells": q_moran_cells,
+    "moran_global": q_moran_global,
     "zonal_stats": q_zonal_stats,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
@@ -1853,7 +1873,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "knn": q_knn,
     "knn_rings": q_knn_rings,
-    "radius_salted": q_radius_salted,
     "radius_bucketed": q_radius_bucketed,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1872,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local-twin coverage every round) --
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
+    "radius_salted": q_radius_salted,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2842,6 +2862,78 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zonal_stats": _sql_zonal_stats(),
+        # Global Moran's I: same frame CTEs as moran_cells, then the
+        # scalar aggregates and the I / E[I] / VarN / z chain in the
+        # exact double op order index.global_moran_i uses
+        "moran_global": f"""
+            WITH pts AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon FROM events),
+            cells AS (
+                SELECT {exprs.sql_grid_ix('lon', HOTSPOT_HB)} AS ix,
+                       {exprs.sql_grid_iy('lat', HOTSPOT_HB)} AS iy,
+                       count(*) AS n_points
+                FROM pts GROUP BY 1, 2
+            ),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS nc,
+                          CAST(sum(n_points) AS DOUBLE) AS tot
+                   FROM cells),
+            contrib AS (
+                SELECT (((ix + dx) % {1 << HOTSPOT_HB}) + {1 << HOTSPOT_HB})
+                           % {1 << HOTSPOT_HB} AS cix,
+                       iy + dy AS ciy, n_points
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dxs(dx),
+                     (VALUES (-1), (0), (1)) dys(dy)
+                WHERE NOT (dx = 0 AND dy = 0)
+                  AND iy + dy >= 0 AND iy + dy < {1 << HOTSPOT_HB}
+            ),
+            nb AS (SELECT cix, ciy, sum(n_points) AS lag_sum, count(*) AS w
+                   FROM contrib GROUP BY 1, 2),
+            per AS (
+                SELECT CAST(c.n_points AS DOUBLE) - st.tot / st.nc AS z,
+                       CAST(nb.lag_sum AS DOUBLE)
+                           - CAST(nb.w AS DOUBLE) * (st.tot / st.nc) AS lag,
+                       coalesce(nb.w, 0) AS w,
+                       st.nc AS nc
+                FROM cells c
+                LEFT JOIN nb ON c.ix = nb.cix AND c.iy = nb.ciy
+                CROSS JOIN st
+            ),
+            g AS (
+                SELECT CAST(max(nc) AS BIGINT) AS n_cells,
+                       CAST(sum(w) AS BIGINT) AS w_sum,
+                       sum(coalesce(z * lag, 0.0e0)) AS num,
+                       sum(z * z) AS m2sum,
+                       CAST(sum(w * w) AS BIGINT) AS wsq
+                FROM per
+            ),
+            d AS (
+                SELECT n_cells, w_sum, num, m2sum,
+                       CAST(n_cells AS DOUBLE) AS nnd,
+                       CAST(w_sum AS DOUBLE) AS wd,
+                       -1.0e0 / (CAST(n_cells AS DOUBLE) - 1.0e0) AS e_i,
+                       2.0e0 * CAST(w_sum AS DOUBLE) AS s1,
+                       4.0e0 * CAST(wsq AS DOUBLE) AS s2
+                FROM g
+            ),
+            v AS (
+                SELECT *,
+                       (nnd / wd) * (num / m2sum) AS i_val,
+                       (nnd * nnd * s1 - nnd * s2 + 3.0e0 * wd * wd)
+                           / ((wd * wd) * (nnd * nnd - 1.0e0))
+                           - e_i * e_i AS var
+                FROM d
+                WHERE n_cells > 1 AND w_sum > 0 AND m2sum > 0.0e0
+            )
+            SELECT g.n_cells, g.w_sum,
+                   round(v.i_val, 6) AS moran_i,
+                   round(CASE WHEN g.n_cells > 1
+                              THEN -1.0e0 / (CAST(g.n_cells AS DOUBLE)
+                                             - 1.0e0) END, 6) AS e_i,
+                   round(CASE WHEN v.var > 0.0e0
+                              THEN (v.i_val - v.e_i) / sqrt(v.var) END, 6)
+                       AS z_norm
+            FROM g LEFT JOIN v ON true
+        """,
         # transitive closure of the all-pairs cosine>=0.95 graph — the
         # third independent pair graph the cluster/keeper machinery is
         # certified on (word-Jaccard text, phash image, cosine embedding)

@@ -390,6 +390,61 @@ def getis_ord_gi_star(
     )
 
 
+def _moran_cell_frame(
+    points: DataFrame,
+    half_bits: int,
+    ring: int,
+    lat: str,
+    lon: str,
+) -> DataFrame:
+    """Shared front half of the two Moran statistics: occupied-cell
+    histogram LEFT-joined with its self-EXCLUDED Chebyshev ring
+    contributions (NULL ``_w`` marks an island — a cell whose whole
+    ring is unoccupied has no contribution row at all) plus the
+    broadcast 1-row global stats (``_n_cells``/``_total``/``_sumsq``)."""
+    n = 1 << half_bits
+    cells = (
+        validate_points(points, lat, lon)
+        .select(
+            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
+            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    stats = cells.agg(
+        F.count("*").alias("_n_cells"),
+        F.sum("n_points").alias("_total"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
+    )
+    offs = list(range(-ring, ring + 1))
+    contrib = (
+        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .where(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
+        .select(
+            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
+            (F.col("iy") + F.col("_dy")).alias("ciy"),
+            "n_points",
+        )
+        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
+        .groupBy("cix", "ciy")
+        .agg(
+            F.sum("n_points").alias("_lag_sum"),
+            F.count("*").alias("_w"),
+        )
+    )
+    return (
+        cells.join(
+            contrib,
+            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
+            "left",
+        )
+        .drop("cix", "ciy")
+        .crossJoin(F.broadcast(stats))
+    )
+
+
 def local_moran_i(
     points: DataFrame,
     half_bits: int,
@@ -425,49 +480,7 @@ def local_moran_i(
     histogram, one bounded explode + groupBy over CELLS, one broadcast
     1-row stats frame; cost scales with occupied cells, not points.
     """
-    n = 1 << half_bits
-    cells = (
-        validate_points(points, lat, lon)
-        .select(
-            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
-            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count("*").alias("n_points"))
-    )
-    stats = cells.agg(
-        F.count("*").alias("_n_cells"),
-        F.sum("n_points").alias("_total"),
-        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
-    )
-    offs = list(range(-ring, ring + 1))
-    contrib = (
-        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .where(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
-        .select(
-            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
-            (F.col("iy") + F.col("_dy")).alias("ciy"),
-            "n_points",
-        )
-        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
-        .groupBy("cix", "ciy")
-        .agg(
-            F.sum("n_points").alias("_lag_sum"),
-            F.count("*").alias("_w"),
-        )
-    )
-    # LEFT join: a cell whose whole ring is unoccupied has no contrib row
-    # at all (self is excluded) -> NULL _w marks the island
-    out = (
-        cells.join(
-            contrib,
-            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
-            "left",
-        )
-        .drop("cix", "ciy")
-        .crossJoin(F.broadcast(stats))
-    )
+    out = _moran_cell_frame(points, half_bits, ring, lat, lon)
     nn = F.col("_n_cells").cast("double")
     mean = F.col("_total").cast("double") / nn
     m2 = F.col("_sumsq").cast("double") / nn - mean * mean
@@ -487,4 +500,77 @@ def local_moran_i(
         lag.alias("lag"),
         moran.alias("moran_i"),
         quadrant.alias("quadrant"),
+    )
+
+
+def global_moran_i(
+    points: DataFrame,
+    half_bits: int,
+    ring: int = 1,
+    lat: str = "latitude",
+    lon: str = "longitude",
+) -> DataFrame:
+    """Global Moran's I — the single-number spatial-autocorrelation TEST
+    over the occupied-cell count field (is the whole surface clustered,
+    dispersed, or random?), with the analytic normality z-score:
+
+        I      = (N / W) * sum_i(z_i * lag_i) / sum_i(z_i^2)
+        E[I]   = -1 / (N - 1)
+        VarN(I)= (N^2*S1 - N*S2 + 3W^2) / (W^2*(N^2 - 1)) - E[I]^2
+        z      = (I - E[I]) / sqrt(VarN)
+
+    with binary symmetric weights over the self-excluded Chebyshev ring
+    (so S1 = 2W and S2 = 4*sum_i(w_i^2) exactly), the same frame
+    :func:`local_moran_i` uses. Island cells (w_i == 0) contribute 0 to
+    the numerator and nothing to W — the conventional treatment.
+
+    Output: exactly ONE row (n_cells, w_sum, moran_i, e_i, z_norm).
+    moran_i/z_norm are NULL when undefined: N < 2 (e_i divides by N-1),
+    W == 0, zero variance (sum z^2 == 0), or VarN <= 0.
+
+    100-TB posture: the shared cell-frame cost (histogram + bounded
+    ring explode over CELLS) plus one global aggregate — a scalar
+    reduce, no extra shuffle beyond the frame's.
+    """
+    out = _moran_cell_frame(points, half_bits, ring, lat, lon)
+    nn = F.col("_n_cells").cast("double")
+    mean = F.col("_total").cast("double") / nn
+    z = F.col("n_points").cast("double") - mean
+    lag = F.col("_lag_sum").cast("double") - F.col("_w").cast("double") * mean
+    g = out.groupBy().agg(
+        F.max("_n_cells").alias("n_cells"),  # identical on every row
+        F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("w_sum"),
+        F.sum(F.coalesce(z * lag, F.lit(0.0))).alias("_num"),
+        F.sum(z * z).alias("_m2sum"),
+        F.sum(
+            F.coalesce(F.col("_w") * F.col("_w"), F.lit(0)).cast("long")
+        ).alias("_wsq"),
+    )
+    nnd = F.col("n_cells").cast("double")
+    wd = F.col("w_sum").cast("double")
+    i_val = (nnd / wd) * (F.col("_num") / F.col("_m2sum"))
+    e_i = F.lit(-1.0) / (nnd - F.lit(1.0))
+    s1 = F.lit(2.0) * wd
+    s2 = F.lit(4.0) * F.col("_wsq").cast("double")
+    var = (
+        (nnd * nnd * s1 - nnd * s2 + F.lit(3.0) * wd * wd)
+        / ((wd * wd) * (nnd * nnd - F.lit(1.0)))
+        - e_i * e_i
+    )
+    # nested guards: each inner expression only evaluates when the outer
+    # condition holds (ANSI divide-by-zero safety), exactly as gi_z does
+    defined = (F.col("n_cells") > 1) & (F.col("w_sum") > 0)
+    i_guard = F.when(defined, F.when(F.col("_m2sum") > 0.0, i_val))
+    return g.select(
+        "n_cells",
+        "w_sum",
+        i_guard.alias("moran_i"),
+        F.when(F.col("n_cells") > 1, e_i).alias("e_i"),
+        F.when(
+            defined,
+            F.when(
+                F.col("_m2sum") > 0.0,
+                F.when(var > 0.0, (i_val - e_i) / F.sqrt(var)),
+            ),
+        ).alias("z_norm"),
     )

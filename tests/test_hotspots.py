@@ -173,3 +173,85 @@ class TestLocalMoran:
         for r in got:
             assert r["moran_i"] is None and r["quadrant"] is None
             assert r["lag"] == pytest.approx(0.0)
+
+
+def _global_moran_twin(cells: dict, n: int, ring: int = 1):
+    xs = np.array(list(cells.values()), dtype=float)
+    N, mean = len(xs), xs.mean()
+    num = m2sum = 0.0
+    W = wsq = 0
+    for (ix, iy), x in cells.items():
+        lag_sum = w = 0
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                k = ((ix + dx) % n, iy + dy)
+                if k in cells:
+                    lag_sum += cells[k]
+                    w += 1
+        z = x - mean
+        m2sum += z * z
+        W += w
+        wsq += w * w
+        if w > 0:
+            num += z * (lag_sum - w * mean)
+    if N < 2 or W == 0 or m2sum == 0:
+        return N, W, None, (-1.0 / (N - 1) if N > 1 else None), None
+    i_val = (N / W) * (num / m2sum)
+    e_i = -1.0 / (N - 1)
+    s1, s2 = 2.0 * W, 4.0 * wsq
+    var = ((N * N * s1 - N * s2 + 3.0 * W * W)
+           / ((W * W) * (N * N - 1.0)) - e_i * e_i)
+    zn = (i_val - e_i) / np.sqrt(var) if var > 0 else None
+    return N, W, i_val, e_i, zn
+
+
+class TestGlobalMoran:
+    def test_matches_numpy_twin(self, spark):
+        from geoengine.index import global_moran_i
+
+        hb, n = 4, 16
+        rng = np.random.default_rng(5)
+        coords = [(float(rng.uniform(-85, 85)), float(rng.uniform(-179, 179)))
+                  for _ in range(400)]
+        # clustered mass spanning a ~3x3 BLOCK of hb-4 cells (22.5 x 11.25
+        # deg each): adjacent cells all elevated -> positive global I (a
+        # single-cell spike would be a high-low OUTLIER, i.e. negative)
+        coords += [(10.0 + float(rng.uniform(0, 30)),
+                    20.0 + float(rng.uniform(0, 60)))
+                   for _ in range(500)]
+        row = global_moran_i(_pts(spark, coords), hb).collect()
+        assert len(row) == 1
+        r = row[0]
+        cells: dict = {}
+        for la, lo in coords:
+            ix = int((lo + 180.0) / 360.0 * n)
+            iy = int((la + 90.0) / 180.0 * n)
+            cells[(ix, iy)] = cells.get((ix, iy), 0) + 1
+        N, W, i_val, e_i, zn = _global_moran_twin(cells, n)
+        assert r["n_cells"] == N and r["w_sum"] == W
+        assert r["moran_i"] == pytest.approx(i_val, rel=1e-9)
+        assert r["e_i"] == pytest.approx(e_i, rel=1e-12)
+        assert r["z_norm"] == pytest.approx(zn, rel=1e-9)
+        assert r["moran_i"] > 0 and r["z_norm"] > 1.96  # clustered fixture
+
+    def test_degenerate_frames(self, spark):
+        from geoengine.index import global_moran_i
+
+        # single occupied cell: N=1 -> everything undefined
+        r = global_moran_i(_pts(spark, [(10.0, 10.0)] * 3), 4).collect()[0]
+        assert r["n_cells"] == 1 and r["w_sum"] == 0
+        assert r["moran_i"] is None and r["e_i"] is None
+        assert r["z_norm"] is None
+        # two far-apart cells: W=0 (both islands) -> I undefined, E defined
+        r = global_moran_i(
+            _pts(spark, [(10.0, 10.0), (-60.0, -120.0)]), 4
+        ).collect()[0]
+        assert r["n_cells"] == 2 and r["w_sum"] == 0
+        assert r["moran_i"] is None and r["e_i"] == pytest.approx(-1.0)
+        # two adjacent equal-count cells: m2 == 0 -> I undefined
+        r = global_moran_i(
+            _pts(spark, [(0.0, 10.0), (0.0, 30.0)]), 4
+        ).collect()[0]
+        assert r["w_sum"] == 2 and r["moran_i"] is None
