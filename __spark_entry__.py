@@ -1679,6 +1679,42 @@ def q_moran_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMERGE_HB, EMERGE_BIN_US = 4, 345_600_000_000  # 4-day slices over events
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot-spot analysis (index.emerging_hotspots): Gi* per
+    (4-day slice, cell) then a Mann-Kendall trend test on each cell's
+    gi_z series — up/down/flat by the 1.96 normal critical value. Bins
+    are exact integer micros (unix_micros div under the UTC pin ==
+    DuckDB epoch_us //); gi_z doubles are bit-identical cross-engine
+    (same op order as hotspot_cells), so the sign comparisons, S, and
+    the trend class all agree exactly."""
+    from geoengine.index import emerging_hotspots
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = (
+            datasets.with_point(ev, "event_id", 37, 91)
+            .select(
+                "latitude", "longitude",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            )
+            .withColumn("bin", F.expr(f"us div {EMERGE_BIN_US}"))
+            .drop("us")
+        )
+        out = emerging_hotspots(pts, EMERGE_HB)
+        return out.select(
+            "ix", "iy", "n_bins", "s",
+            F.round("z_mk", 6).alias("z_mk"),
+            F.round("mean_gi", 6).alias("mean_gi"),
+            F.round("last_gi", 6).alias("last_gi"),
+            "trend",
+        )
+
+    return _with_utc(spark, build)
+
+
 def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call EMBEDDING corpus dedup (similarity.dedup_embeddings —
     the semantic arm, next to dedup_documents and dedup_images): exact
@@ -1841,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moran_cells": q_moran_cells,
     "moran_global": q_moran_global,
     "zonal_stats": q_zonal_stats,
+    "emerging_hotspots": q_emerging_hotspots,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1876,7 +1913,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_bucketed": q_radius_bucketed,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "minhash_near_dup": q_minhash_near_dup,
-    "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
@@ -1892,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tiles": q_streaming_tiles,
     "streaming_user_totals": q_streaming_user_totals,
     "radius_salted": q_radius_salted,
+    "simhash_near_dup": q_simhash_near_dup,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2933,6 +2970,111 @@ def oracle_sql() -> dict[str, str]:
                               THEN (v.i_val - v.e_i) / sqrt(v.var) END, 6)
                        AS z_norm
             FROM g LEFT JOIN v ON true
+        """,
+        # Emerging hot spots: per-slice Gi* (bin added to every key of the
+        # hotspot_cells CTEs, identical double op order) -> NULL-slice
+        # filter -> Mann-Kendall pair self-join -> continuity-corrected z
+        # and the 1.96 trend casing, all on UNROUNDED values as the
+        # operator computes them
+        "emerging_hotspots": f"""
+            WITH p AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon,
+                              epoch_us(ts) // {EMERGE_BIN_US} AS bin
+                       FROM events),
+            cells AS (
+                SELECT bin,
+                       {exprs.sql_grid_ix('lon', EMERGE_HB)} AS ix,
+                       {exprs.sql_grid_iy('lat', EMERGE_HB)} AS iy,
+                       count(*) AS n_points
+                FROM p GROUP BY 1, 2, 3
+            ),
+            st AS (SELECT bin, CAST(count(*) AS DOUBLE) AS nc,
+                          CAST(sum(n_points) AS DOUBLE) AS tot,
+                          CAST(sum(n_points * n_points) AS DOUBLE) AS ssq
+                   FROM cells GROUP BY bin),
+            contrib AS (
+                SELECT bin,
+                       (((ix + dx) % {1 << EMERGE_HB}) + {1 << EMERGE_HB})
+                           % {1 << EMERGE_HB} AS cix,
+                       iy + dy AS ciy, n_points
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dxs(dx),
+                     (VALUES (-1), (0), (1)) dys(dy)
+                WHERE iy + dy >= 0 AND iy + dy < {1 << EMERGE_HB}
+            ),
+            nb AS (SELECT bin, cix, ciy, sum(n_points) AS sum_x,
+                          count(*) AS w
+                   FROM contrib GROUP BY 1, 2, 3),
+            gi AS (
+                SELECT bin, ix, iy,
+                       CASE WHEN nc > 1.0e0 THEN
+                            CASE WHEN s * sqrt((nc * wd - wd * wd)
+                                               / (nc - 1.0e0)) > 0.0e0
+                                 THEN (sxd - tot / nc * wd)
+                                      / (s * sqrt((nc * wd - wd * wd)
+                                                  / (nc - 1.0e0)))
+                            END
+                       END AS gi_z
+                FROM (
+                    SELECT c.bin, c.ix, c.iy,
+                           CAST(nb.sum_x AS DOUBLE) AS sxd,
+                           CAST(nb.w AS DOUBLE) AS wd,
+                           st.nc, st.tot,
+                           sqrt(st.ssq / st.nc - (st.tot / st.nc)
+                                * (st.tot / st.nc)) AS s
+                    FROM cells c
+                    JOIN nb ON c.bin = nb.bin AND c.ix = nb.cix
+                           AND c.iy = nb.ciy
+                    JOIN st ON c.bin = st.bin
+                )
+            ),
+            gz AS (SELECT bin, ix, iy, gi_z FROM gi WHERE gi_z IS NOT NULL),
+            sj AS (
+                SELECT a.ix, a.iy,
+                       sum(CASE WHEN b.gi_z > a.gi_z THEN 1
+                                WHEN b.gi_z < a.gi_z THEN -1
+                                ELSE 0 END) AS s
+                FROM gz a JOIN gz b
+                  ON a.ix = b.ix AND a.iy = b.iy AND a.bin < b.bin
+                GROUP BY 1, 2
+            ),
+            base AS (SELECT ix, iy, count(*) AS n_bins,
+                            avg(gi_z) AS mean_gi,
+                            arg_max(gi_z, bin) AS last_gi
+                     FROM gz GROUP BY 1, 2),
+            mk AS (
+                SELECT ix, iy, n_bins, s, mean_gi, last_gi,
+                       CASE WHEN n_bins >= 2 THEN
+                            CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0e0)
+                                     / sqrt(CAST(n_bins AS DOUBLE)
+                                            * (CAST(n_bins AS DOUBLE) - 1.0e0)
+                                            * (2.0e0 * CAST(n_bins AS DOUBLE)
+                                               + 5.0e0) / 18.0e0)
+                                 WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0e0)
+                                     / sqrt(CAST(n_bins AS DOUBLE)
+                                            * (CAST(n_bins AS DOUBLE) - 1.0e0)
+                                            * (2.0e0 * CAST(n_bins AS DOUBLE)
+                                               + 5.0e0) / 18.0e0)
+                                 ELSE 0.0e0
+                            END
+                       END AS z_mk
+                FROM (
+                    SELECT base.ix, base.iy, base.n_bins,
+                           coalesce(sj.s, 0) AS s,
+                           base.mean_gi, base.last_gi
+                    FROM base LEFT JOIN sj
+                      ON base.ix = sj.ix AND base.iy = sj.iy
+                )
+            )
+            SELECT ix, iy, n_bins, CAST(s AS BIGINT) AS s,
+                   round(z_mk, 6) AS z_mk,
+                   round(mean_gi, 6) AS mean_gi,
+                   round(last_gi, 6) AS last_gi,
+                   CASE WHEN z_mk IS NOT NULL THEN
+                        CASE WHEN z_mk > 1.96e0 THEN 'up'
+                             WHEN z_mk < -1.96e0 THEN 'down'
+                             ELSE 'flat' END
+                   END AS trend
+            FROM mk
         """,
         # transitive closure of the all-pairs cosine>=0.95 graph — the
         # third independent pair graph the cluster/keeper machinery is

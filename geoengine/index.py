@@ -332,7 +332,6 @@ def getis_ord_gi_star(
     broadcast of a 1-row global-stats frame — cost scales with occupied
     cells, not input rows.
     """
-    n = 1 << half_bits
     cells = (
         validate_points(points, lat, lon)
         .select(
@@ -342,11 +341,30 @@ def getis_ord_gi_star(
         .groupBy("ix", "iy")
         .agg(F.count("*").alias("n_points"))
     )
-    stats = cells.agg(
+    return _gi_star_frame(cells, 1 << half_bits, ring, keys=())
+
+
+def _gi_star_frame(
+    cells: DataFrame,
+    n: int,
+    ring: int,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """Gi* z-scores for a ``(*keys, ix, iy, n_points)`` histogram. With
+    ``keys`` non-empty, the study frame, the ring neighborhoods and the
+    global stats are all computed WITHIN each keys-group (the per-slice
+    form emerging_hotspots uses); with keys=() this is exactly the
+    single-frame statistic getis_ord_gi_star documents.
+
+    Output: (*keys, ix, iy, n_points, sum_x, w, gi_z).
+    """
+    grp = list(keys)
+    aggs = [
         F.count("*").alias("_n_cells"),
         F.sum("n_points").alias("_total"),
         F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
-    )
+    ]
+    stats = cells.groupBy(*grp).agg(*aggs) if grp else cells.agg(*aggs)
     # every occupied cell contributes its count to each center position in
     # its Chebyshev ring (dx wraps, dy clamps by dropping off-grid rows);
     # joining the contributions back to the occupied cells keeps exactly
@@ -356,25 +374,32 @@ def getis_ord_gi_star(
         cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
         .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
         .select(
+            *grp,
             F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
             (F.col("iy") + F.col("_dy")).alias("ciy"),
             "n_points",
         )
         .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
-        .groupBy("cix", "ciy")
+        .groupBy(*grp, "cix", "ciy")
         .agg(
             F.sum("n_points").alias("sum_x"),
             F.count("*").alias("w"),
         )
     )
-    out = (
-        cells.join(
-            contrib,
-            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
-        )
-        .drop("cix", "ciy")
-        .crossJoin(F.broadcast(stats))
+    # rename the contribution side's key columns to avoid ambiguity
+    rn = contrib
+    for k in grp:
+        rn = rn.withColumnRenamed(k, f"_c_{k}")
+    cond = (cells["ix"] == rn["cix"]) & (cells["iy"] == rn["ciy"])
+    for k in grp:
+        cond = cond & (cells[k] == rn[f"_c_{k}"])
+    out = cells.join(rn, cond).drop(
+        "cix", "ciy", *[f"_c_{k}" for k in grp]
     )
+    if grp:
+        out = out.join(F.broadcast(stats), grp)
+    else:
+        out = out.crossJoin(F.broadcast(stats))
     nn = F.col("_n_cells").cast("double")
     w = F.col("w").cast("double")
     mean = F.col("_total").cast("double") / nn
@@ -385,7 +410,7 @@ def getis_ord_gi_star(
     # single-cell frame, and conditional branches are only evaluated when
     # taken — the outer guard must fire before denom is ever computed
     return out.select(
-        "ix", "iy", "n_points", "sum_x", "w",
+        *grp, "ix", "iy", "n_points", "sum_x", "w",
         F.when(nn > 1.0, F.when(denom > 0.0, z)).alias("gi_z"),
     )
 
@@ -573,4 +598,125 @@ def global_moran_i(
                 F.when(var > 0.0, (i_val - e_i) / F.sqrt(var)),
             ),
         ).alias("z_norm"),
+    )
+
+
+def gi_star_slices(
+    points: DataFrame,
+    half_bits: int,
+    bin_col: str = "bin",
+    ring: int = 1,
+    lat: str = "latitude",
+    lon: str = "longitude",
+) -> DataFrame:
+    """Per-time-slice Getis-Ord Gi*: the :func:`getis_ord_gi_star`
+    statistic computed independently WITHIN each value of ``bin_col``
+    (an integer time-bin column the caller derives — e.g.
+    ``unix_micros(ts) div bin_us``; the operator is time-unit agnostic).
+    Frame semantics per slice are exactly the single-frame statistic's
+    (occupied cells of THAT slice; stats and ring weights slice-local).
+
+    Output: (bin, ix, iy, n_points, sum_x, w, gi_z) — one row per
+    occupied (slice, cell). The input to trend analysis
+    (:func:`emerging_hotspots`).
+    """
+    cells = (
+        validate_points(points, lat, lon)
+        .where(F.col(bin_col).isNotNull())
+        .select(
+            F.col(bin_col),
+            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
+            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
+        )
+        .groupBy(bin_col, "ix", "iy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return _gi_star_frame(cells, 1 << half_bits, ring, keys=(bin_col,))
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    half_bits: int,
+    bin_col: str = "bin",
+    ring: int = 1,
+    lat: str = "latitude",
+    lon: str = "longitude",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Emerging hot-spot analysis (the space-time-cube classic): Gi*
+    per (time-slice, cell) via :func:`gi_star_slices`, then a
+    Mann-Kendall monotone-trend test on each cell's gi_z series —
+    answering "is this location HEATING UP or COOLING DOWN over time?".
+
+        S    = sum over bin pairs k < l of sign(g_l - g_k)
+        Var  = T*(T-1)*(2T+5) / 18            (no tie correction; the
+               gi_z series is continuous — exact ties occur only in
+               degenerate frames and count as 0 in S, the standard
+               treatment)
+        z_mk = (S-1)/sqrt(Var) if S > 0, (S+1)/sqrt(Var) if S < 0,
+               else 0            (continuity-corrected normal approx)
+
+    Slices where gi_z is undefined (single-cell frame, zero variance,
+    W == N) are EXCLUDED from the series; T (``n_bins``) counts the
+    remaining slices, and cells with T < 2 report NULL z_mk/trend.
+
+    Output: (ix, iy, n_bins, s, z_mk, mean_gi, last_gi, trend) where
+    ``trend`` is 'up' / 'down' / 'flat' by ``crit`` (default 1.96 ~ 5%
+    two-sided), ``mean_gi`` the series mean and ``last_gi`` the most
+    recent slice's gi_z (max_by bin — bins are unique per cell).
+
+    100-TB posture: the slice Gi* cost (scales with occupied
+    slice-cells, not points) + one bounded self-join per cell — T^2/2
+    pairs per cell with T = number of time slices (tens), never
+    points^2 — + two hash aggregates on the cell key.
+    """
+    gz = (
+        gi_star_slices(points, half_bits, bin_col, ring, lat, lon)
+        .where(F.col("gi_z").isNotNull())
+        .select(bin_col, "ix", "iy", "gi_z")
+    )
+    a, b = gz.alias("a"), gz.alias("b")
+    sgn = (
+        F.when(F.col("b.gi_z") > F.col("a.gi_z"), F.lit(1))
+        .when(F.col("b.gi_z") < F.col("a.gi_z"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.ix") == F.col("b.ix"))
+            & (F.col("a.iy") == F.col("b.iy"))
+            & (F.col(f"a.{bin_col}") < F.col(f"b.{bin_col}")),
+        )
+        .groupBy(F.col("a.ix").alias("ix"), F.col("a.iy").alias("iy"))
+        .agg(F.sum(sgn).alias("s"))
+    )
+    base = gz.groupBy("ix", "iy").agg(
+        F.count("*").alias("n_bins"),
+        F.avg("gi_z").alias("mean_gi"),
+        F.max_by("gi_z", F.col(bin_col)).alias("last_gi"),
+    )
+    # LEFT: a cell seen in exactly one slice has no pair rows -> S = 0
+    out = base.join(s, ["ix", "iy"], "left").withColumn(
+        "s", F.coalesce(F.col("s"), F.lit(0))
+    )
+    t = F.col("n_bins").cast("double")
+    var = t * (t - F.lit(1.0)) * (F.lit(2.0) * t + F.lit(5.0)) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z_mk = F.when(
+        F.col("n_bins") >= 2,
+        F.when(F.col("s") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("s") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    out = out.withColumn("z_mk", z_mk)
+    trend = F.when(
+        F.col("z_mk").isNotNull(),
+        F.when(F.col("z_mk") > crit, F.lit("up"))
+        .when(F.col("z_mk") < -crit, F.lit("down"))
+        .otherwise(F.lit("flat")),
+    )
+    return out.select(
+        "ix", "iy", "n_bins", "s", "z_mk", "mean_gi", "last_gi",
+        trend.alias("trend"),
     )

@@ -255,3 +255,117 @@ class TestGlobalMoran:
             _pts(spark, [(0.0, 10.0), (0.0, 30.0)]), 4
         ).collect()[0]
         assert r["w_sum"] == 2 and r["moran_i"] is None
+
+
+def _pts_binned(spark, rows):
+    return spark.createDataFrame(
+        [(float(a), float(b), int(t)) for a, b, t in rows],
+        schema="latitude double, longitude double, bin long",
+    )
+
+
+def _emerging_twin(rows, n, crit=1.96):
+    """rows: (lat, lon, bin) -> {(ix,iy): (n_bins, s, z_mk, mean, last,
+    trend)} via per-bin _numpy_twin Gi* + Mann-Kendall."""
+    by_bin: dict = {}
+    for la, lo, t in rows:
+        ix = int((lo + 180.0) / 360.0 * n)
+        iy = int((la + 90.0) / 180.0 * n)
+        by_bin.setdefault(t, {})
+        by_bin[t][(ix, iy)] = by_bin[t].get((ix, iy), 0) + 1
+    series: dict = {}
+    for t in sorted(by_bin):
+        for cell, (_, _, z) in _numpy_twin(by_bin[t], n).items():
+            if z is not None:
+                series.setdefault(cell, []).append((t, z))
+    out = {}
+    for cell, seq in series.items():
+        seq.sort()
+        zs = [z for _, z in seq]
+        T = len(zs)
+        s = sum(
+            (1 if zs[j] > zs[i] else -1 if zs[j] < zs[i] else 0)
+            for i in range(T) for j in range(i + 1, T)
+        )
+        if T >= 2:
+            var = T * (T - 1) * (2 * T + 5) / 18.0
+            zmk = ((s - 1) / np.sqrt(var) if s > 0
+                   else (s + 1) / np.sqrt(var) if s < 0 else 0.0)
+            trend = ("up" if zmk > crit else
+                     "down" if zmk < -crit else "flat")
+        else:
+            zmk, trend = None, None
+        out[cell] = (T, s, zmk, float(np.mean(zs)), zs[-1], trend)
+    return out
+
+
+class TestEmergingHotspots:
+    def test_matches_numpy_twin(self, spark):
+        from geoengine.index import emerging_hotspots
+
+        hb, n, n_bins = 4, 16, 8
+        rng = np.random.default_rng(6)
+        rows = []
+        # background noise every bin
+        for t in range(n_bins):
+            rows += [(float(rng.uniform(-85, 85)),
+                      float(rng.uniform(-179, 179)), t)
+                     for _ in range(120)]
+            # an INTENSIFYING block: mass grows linearly with t
+            rows += [(30.0 + float(rng.uniform(0, 10)),
+                      40.0 + float(rng.uniform(0, 20)), t)] * (4 + 10 * t)
+            # a COOLING block: mass shrinks with t
+            rows += [(-40.0 - float(rng.uniform(0, 10)),
+                      -90.0 - float(rng.uniform(0, 20)), t)] * (4 + 10 * (n_bins - 1 - t))
+        got = {
+            (r["ix"], r["iy"]): r
+            for r in emerging_hotspots(_pts_binned(spark, rows), hb).collect()
+        }
+        want = _emerging_twin(rows, n)
+        assert set(got) == set(want)
+        trends = set()
+        for cell, (T, s, zmk, mean, last, trend) in want.items():
+            r = got[cell]
+            assert r["n_bins"] == T and r["s"] == s, cell
+            if zmk is None:
+                assert r["z_mk"] is None, cell
+            else:
+                assert r["z_mk"] == pytest.approx(zmk, rel=1e-12), cell
+            assert r["mean_gi"] == pytest.approx(mean, rel=1e-9), cell
+            assert r["last_gi"] == pytest.approx(last, rel=1e-9), cell
+            assert r["trend"] == trend, cell
+            trends.add(trend)
+        assert "up" in trends and "down" in trends  # fixture exercises both
+
+    def test_exact_ties_are_flat(self, spark):
+        from geoengine.index import emerging_hotspots
+
+        # bin 1 permutes bin 0's histogram (B and C swap counts, A fixed):
+        # frame stats are identical and every cell keeps the same
+        # (w, sum_x) — Gi* uses the NEIGHBORHOOD sum, and B+C is invariant
+        # under the swap — so all three gi_z series tie exactly:
+        # s=0, z_mk=0.0, trend 'flat'
+        rows = ([(60.0, 100.0, 0)] * 3
+                + [(0.0, 10.0, 0)] + [(0.0, 30.0, 0)] * 2
+                + [(60.0, 100.0, 1)] * 3
+                + [(0.0, 10.0, 1)] * 2 + [(0.0, 30.0, 1)])
+        got = emerging_hotspots(_pts_binned(spark, rows), 4).collect()
+        assert len(got) == 3
+        for r in got:
+            assert r["n_bins"] == 2 and r["s"] == 0, r
+            assert r["z_mk"] == 0.0 and r["trend"] == "flat", r
+
+    def test_single_defined_slice_is_null(self, spark):
+        from geoengine.index import emerging_hotspots
+
+        # bin 0: 3-cell frame, all gi_z defined; bin 1: only B and C ->
+        # N=2 with w=2=N -> gi_z UNDEFINED, slice excluded -> every cell
+        # ends with n_bins=1: s=0, NULL z_mk/trend
+        rows = ([(60.0, 100.0, 0)] * 3
+                + [(0.0, 10.0, 0)] + [(0.0, 30.0, 0)] * 2
+                + [(0.0, 10.0, 1)] + [(0.0, 30.0, 1)] * 2)
+        got = emerging_hotspots(_pts_binned(spark, rows), 4).collect()
+        assert len(got) == 3
+        for r in got:
+            assert r["n_bins"] == 1 and r["s"] == 0, r
+            assert r["z_mk"] is None and r["trend"] is None, r
