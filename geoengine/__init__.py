@@ -5,10 +5,12 @@ Re-expresses the query semantics of
 (reference at /root/reference, Scala/RDD + external NoSQL store) as pure
 Spark DataFrame plans: vectorized cell encoding, cell-keyed equi-joins for
 candidate pairing, codegen'd great-circle distance refinement, window top-k,
-ring-expansion kNN, raster-tile assignment, point-in-polygon, spatial
-analytics (DBSCAN with exact grid contraction, Getis-Ord hot spots, IDW
-interpolation, grid kernel density), trajectory/geofence/co-location
-rollups (batch + streaming), plus training-data-pipeline operators
+ring-expansion kNN, raster-tile assignment, point-in-polygon + zonal
+statistics, spatial analytics (DBSCAN with exact grid contraction,
+Getis-Ord hot spots, local/global Moran's I, emerging hot spots with
+Mann-Kendall trends, IDW interpolation, grid kernel density),
+trajectory/geofence/co-location rollups (batch + streaming), plus
+training-data-pipeline operators
 (dedup with cluster resolution, similarity search, text analysis, image
 payload kernels).
 

@@ -47,8 +47,13 @@ N_SAMPLES_FIELD = 4_000_000
 N_QUERIES_IDW = 200_000
 IDW_RADIUS_KM, IDW_K = 100.0, 8
 KDE_BW_KM, KDE_HB = 100.0, 7
+# emerging hot spots: the heavy stage is the (bin, cell) histogram over
+# the raw points (map-side combine); Gi* slices + MK self-join then run
+# over <= bins * 4^hb cells. 20M blob points, 10 hash-derived bins, hb-7
+N_POINTS_EMERGE, EMERGE_BINS, EMERGE_HB = 20_000_000, 10, 7
 JOBS = ("trajectory_stats", "geofence_visits", "co_location",
-        "spatial_dbscan", "idw_interpolate", "kde_cells")
+        "spatial_dbscan", "idw_interpolate", "kde_cells",
+        "emerging_hotspots")
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -142,6 +147,20 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         )
     )
 
+    from geoengine.index import emerging_hotspots
+
+    em_src = blob_points(spark, N_POINTS_EMERGE, 64).withColumn(
+        "bin", F.pmod(F.xxhash64(F.col("id"), F.lit(21)),
+                      F.lit(EMERGE_BINS))
+    )
+
+    def run_emerging():
+        # scoped cache: the gi_z slice frame feeds three consumers
+        reg = []
+        force(emerging_hotspots(em_src, EMERGE_HB, cache_registry=reg))
+        for h in reg:
+            h.unpersist()
+
     jobs = {
         "trajectory_stats": lambda: trajectory_stats(st_src),
         "geofence_visits": lambda: geofence_visits(gf_src, fences),
@@ -150,6 +169,7 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         "idw_interpolate": lambda: idw_interpolate(
             idw_queries, idw_samples, "val", IDW_RADIUS_KM, k=IDW_K),
         "kde_cells": lambda: kde_cells(fld_src, KDE_BW_KM, KDE_HB),
+        "emerging_hotspots": run_emerging,
     }
     jobs = {k: v for k, v in jobs.items() if k in JOBS}
 
