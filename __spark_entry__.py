@@ -1680,6 +1680,35 @@ def q_moran_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMERGE_HB, EMERGE_BIN_US = 4, 345_600_000_000  # 4-day slices over events
+STAY_MOVE_KM, STAY_MIN_S = 4000.0, 3600.0  # fixture-tuned: global random
+# fixes need a continental move threshold for multi-fix runs to form
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staypoint detection (trajectories.staypoints): gaps-and-islands
+    stationary runs (break on step > move_km, <= keeps) with exact
+    integer-micros durations, reported at the run centroid. The oracle
+    replays the lag/break/running-sum construction and the identical
+    duration arithmetic in SQL."""
+    from geoengine.trajectories import staypoints
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        out = staypoints(pts, STAY_MOVE_KM, STAY_MIN_S)
+        return out.select(
+            "user_id",
+            F.round("center_lat", 6).alias("center_lat"),
+            F.round("center_lon", 6).alias("center_lon"),
+            "enter_us", "exit_us",
+            F.round("duration_s", 6).alias("duration_s"),
+            "n_fixes",
+        )
+
+    return _with_utc(spark, build)
 
 
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moran_global": q_moran_global,
     "zonal_stats": q_zonal_stats,
     "emerging_hotspots": q_emerging_hotspots,
+    "staypoints": q_staypoints,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1911,7 +1941,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "knn_rings": q_knn_rings,
     "radius_bucketed": q_radius_bucketed,
-    "embedding_topk_ivf": q_embedding_topk_ivf,
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
@@ -1929,6 +1958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_totals": q_streaming_user_totals,
     "radius_salted": q_radius_salted,
     "simhash_near_dup": q_simhash_near_dup,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2803,6 +2833,44 @@ def oracle_sql() -> dict[str, str]:
                        AS dwell_s,
                    count(*) AS n_intervals
             FROM r WHERE dw IS NOT NULL GROUP BY 1, 2, 3
+        """,
+        # Staypoints: identical lag/break/running-sum island construction,
+        # the same <= move boundary (break on strict >), exact integer
+        # micros duration arithmetic, centroid by plain avg
+        "staypoints": f"""
+            WITH {_sql_trajectory_points()},
+            l AS (SELECT *, epoch_us(ts) AS us,
+                         lag(lat) OVER w AS pla, lag(lon) OVER w AS plo,
+                         lag(id) OVER w AS pseq
+                  FROM p
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, id)),
+            b AS (SELECT *,
+                         CASE WHEN pseq IS NULL
+                                   OR {exprs.sql_dist_km('pla', 'plo',
+                                                         'lat', 'lon')}
+                                      > {_D(STAY_MOVE_KM)}
+                              THEN 1 ELSE 0 END AS brk
+                  FROM l),
+            r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS run
+                  FROM b),
+            s AS (SELECT user_id, run,
+                         avg(lat) AS clat, avg(lon) AS clon,
+                         min(us) AS enter_us, max(us) AS exit_us,
+                         count(*) AS n_fixes
+                  FROM r GROUP BY 1, 2)
+            SELECT user_id,
+                   round(clat, 6) AS center_lat,
+                   round(clon, 6) AS center_lon,
+                   enter_us, exit_us,
+                   round(CAST(exit_us - enter_us AS DOUBLE)
+                         / 1000000.0e0, 6) AS duration_s,
+                   n_fixes
+            FROM s
+            WHERE CAST(exit_us - enter_us AS DOUBLE) / 1000000.0e0
+                  >= {_D(STAY_MIN_S)}
         """,
         # Getis-Ord Gi*: identical histogram, Chebyshev contribution join
         # and double op order (mean/S/denominator spelled exactly as

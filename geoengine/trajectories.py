@@ -215,6 +215,87 @@ def trajectory_stats(
     )
 
 
+def staypoints(
+    points: DataFrame,
+    move_km: float,
+    min_stay_s: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Staypoint detection (the mobility-mining staple behind visit/
+    POI inference, Li et al. GIS'08 family) — gaps-and-islands variant:
+    order each entity's fixes by ``(ts, seq)``; a fix STARTS A NEW RUN
+    when it is the entity's first fix or its great-circle step from the
+    previous fix exceeds ``move_km`` (``<=`` keeps, matching the
+    engine's radius boundary rule); maximal stationary runs whose exact
+    duration (last fix - first fix, integer micros) reaches
+    ``min_stay_s`` become staypoints, reported at the run's arithmetic
+    centroid.
+
+    NULL-coordinate fixes are DROPPED up front (they can neither extend
+    nor anchor a run — unlike segment_metrics' NULL-metric contract,
+    documented difference). The arithmetic centroid is exact for the
+    local clusters staypoints describe; a run hugging the antimeridian
+    averages across the +/-180 seam and distorts — known limitation of
+    the lat/lon-mean form, acceptable because runs are move_km-local.
+
+    Output: (entity, center_lat, center_lon, enter_us, exit_us,
+    duration_s, n_fixes) — enter/exit as exact integer micros (the
+    cross-engine-exact time representation the module uses throughout).
+
+    100-TB posture: ONE window shuffle on the entity key (lag + running
+    break-count share the sort) + one map-side-combinable groupBy on
+    (entity, run) — a hot entity costs its own rows only.
+    """
+    if not (move_km > 0):
+        raise ValueError(f"move_km must be > 0, got {move_km!r}")
+    if min_stay_s < 0:
+        raise ValueError(f"min_stay_s must be >= 0, got {min_stay_s!r}")
+    la, lo = F.col(lat_col), F.col(lon_col)
+    pts = points.where(la.isNotNull() & lo.isNotNull())
+    w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
+    step = exprs.dist_km(F.lag(la).over(w), F.lag(lo).over(w), la, lo)
+    brk = F.when(
+        F.lag(F.col(seq_col)).over(w).isNull() | (step > move_km),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = pts.select(
+        entity_col,
+        ts_col,
+        seq_col,
+        la.alias("_lat"),
+        lo.alias("_lon"),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+        brk.alias("_brk"),
+    ).withColumn(
+        "_run",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sp = runs.groupBy(entity_col, "_run").agg(
+        F.avg("_lat").alias("center_lat"),
+        F.avg("_lon").alias("center_lon"),
+        F.min("_us").alias("enter_us"),
+        F.max("_us").alias("exit_us"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+    dur = (
+        (F.col("exit_us") - F.col("enter_us")).cast("double") / 1.0e6
+    )
+    return (
+        sp.withColumn("duration_s", dur)
+        .where(F.col("duration_s") >= float(min_stay_s))
+        .select(
+            entity_col, "center_lat", "center_lon",
+            "enter_us", "exit_us", "duration_s", "n_fixes",
+        )
+    )
+
+
 def tile_flows(
     points: DataFrame,
     zoom: int,

@@ -564,3 +564,93 @@ class TestTrajectoryPlanShape:
             if "Exchange" in line.strip()[:12]
         )
         assert n_exchanges == 1, plan
+
+
+def _brute_staypoints(rows, move_km, min_stay_s):
+    """rows: (id, entity, sec, lat, lon) -> list of staypoint tuples via
+    a sequential scan twin (drop NULL coords, break on step > move_km)."""
+    out = []
+    by_ent: dict = {}
+    for i, e, s, la, lo in rows:
+        if la is None or lo is None:
+            continue
+        by_ent.setdefault(e, []).append((s, i, la, lo))
+    for e, fixes in by_ent.items():
+        fixes.sort()
+        run: list = []
+        for s, i, la, lo in fixes:
+            if run and _dist_km(run[-1][2], run[-1][3], la, lo) <= move_km:
+                run.append((s, i, la, lo))
+            else:
+                if run:
+                    out.append((e, run))
+                run = [(s, i, la, lo)]
+        if run:
+            out.append((e, run))
+    sps = []
+    for e, run in out:
+        dur = run[-1][0] - run[0][0]
+        if dur >= min_stay_s:
+            sps.append((
+                e,
+                float(np.mean([r[2] for r in run])),
+                float(np.mean([r[3] for r in run])),
+                int(run[0][0] * 1e6) + 1704067200000000,
+                int(run[-1][0] * 1e6) + 1704067200000000,
+                float(dur),
+                len(run),
+            ))
+    return sorted(sps)
+
+
+def test_staypoints_matches_brute(spark):
+    from geoengine.trajectories import staypoints
+
+    # entity 1: dwell near (10,10) for 3 fixes over 600 s, hop 50 km,
+    # dwell again for 2 fixes over 120 s, then a lone far fix
+    rows = [
+        (1, 1, 0.0, 10.0, 10.0),
+        (2, 1, 300.0, 10.001, 10.001),
+        (3, 1, 600.0, 10.002, 10.0),
+        (4, 1, 900.0, 10.45, 10.0),    # ~50 km hop -> breaks
+        (5, 1, 960.0, 10.451, 10.0),
+        (6, 1, 1020.0, 10.452, 10.0),
+        (7, 1, 1100.0, 60.0, 100.0),   # lone far fix
+        # entity 2: NULL coordinate inside a dwell is dropped, run continues
+        (10, 2, 0.0, -20.0, 40.0),
+        (11, 2, 100.0, None, 40.0),
+        (12, 2, 200.0, -20.001, 40.001),
+        (13, 2, 400.0, -20.002, 40.0),
+    ]
+    got = sorted(
+        (r["user_id"], r["center_lat"], r["center_lon"], r["enter_us"],
+         r["exit_us"], r["duration_s"], r["n_fixes"])
+        for r in staypoints(_points(spark, rows), 2.0, 100.0).collect()
+    )
+    want = _brute_staypoints(rows, 2.0, 100.0)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[6] == w[6]
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == w[3] and g[4] == w[4]
+        assert g[5] == pytest.approx(w[5])
+    # entity 1: first dwell (3 fixes, 600 s) qualifies; second dwell only
+    # 120 s >= 100 s qualifies too; lone fix duration 0 -> dropped
+    e1 = [g for g in got if g[0] == 1]
+    assert [g[6] for g in e1] == [3, 3]
+
+
+def test_staypoints_validation_and_boundary(spark):
+    from geoengine.trajectories import staypoints
+
+    with pytest.raises(ValueError, match="move_km"):
+        staypoints(_points(spark, []), 0.0, 10.0)
+    with pytest.raises(ValueError, match="min_stay_s"):
+        staypoints(_points(spark, []), 1.0, -1.0)
+    # boundary: a step of EXACTLY move_km keeps the run (<= rule)
+    lat_step = 1.0 / 111.19492664455873  # ~1 km along a meridian
+    rows = [(1, 1, 0.0, 0.0, 0.0), (2, 1, 50.0, lat_step, 0.0)]
+    d = _dist_km(0.0, 0.0, lat_step, 0.0)
+    got = staypoints(_points(spark, rows), d, 0.0).collect()
+    assert len(got) == 1 and got[0]["n_fixes"] == 2

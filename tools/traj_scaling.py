@@ -206,13 +206,18 @@ def main() -> None:
                     help="override N_POINTS_DBSCAN (the operator runs "
                          "~15 sequential jobs — bigger amortizes the "
                          "per-job fixed overhead)")
+    ap.add_argument("--emerge-points", type=int, default=None,
+                    help="override N_POINTS_EMERGE (the histogram stage "
+                         "dominates; bigger de-exposes job overhead)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
-    global N_FIXES_FENCE, N_POINTS_DBSCAN, JOBS
+    global N_FIXES_FENCE, N_POINTS_DBSCAN, N_POINTS_EMERGE, JOBS
     if args.fence_fixes:
         N_FIXES_FENCE = args.fence_fixes
     if args.dbscan_points:
         N_POINTS_DBSCAN = args.dbscan_points
+    if args.emerge_points:
+        N_POINTS_EMERGE = args.emerge_points
     JOBS = tuple(args.jobs.split(","))
 
     best: dict[tuple[str, int], float] = {}
