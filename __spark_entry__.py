@@ -1700,12 +1700,41 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = staypoints(pts, STAY_MOVE_KM, STAY_MIN_S)
         return out.select(
-            "user_id",
+            "user_id", "visit_seq",
             F.round("center_lat", 6).alias("center_lat"),
             F.round("center_lon", 6).alias("center_lon"),
             "enter_us", "exit_us",
             F.round("duration_s", 6).alias("duration_s"),
             "n_fixes",
+        )
+
+    return _with_utc(spark, build)
+
+
+def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination trips between consecutive staypoints
+    (trajectories.staypoint_trips over the staypoints layer): depart at
+    the origin visit's exit, arrive at the destination's enter,
+    great-circle centroid distance. The oracle extends the staypoints
+    CTE chain with the identical lead() window."""
+    from geoengine.trajectories import staypoint_trips, staypoints
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        out = staypoint_trips(staypoints(pts, STAY_MOVE_KM, STAY_MIN_S))
+        return out.select(
+            "user_id", "from_seq", "to_seq",
+            F.round("from_lat", 6).alias("from_lat"),
+            F.round("from_lon", 6).alias("from_lon"),
+            F.round("to_lat", 6).alias("to_lat"),
+            F.round("to_lon", 6).alias("to_lon"),
+            "depart_us", "arrive_us",
+            F.round("travel_s", 6).alias("travel_s"),
+            F.round("trip_km", 6).alias("trip_km"),
         )
 
     return _with_utc(spark, build)
@@ -1908,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "emerging_hotspots": q_emerging_hotspots,
     "staypoints": q_staypoints,
+    "trips": q_trips,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1945,7 +1975,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
-    "radius_pairs_prefix": q_radius_pairs_prefix,
     "streaming_radius": q_streaming_radius,
     "streaming_dedup": q_streaming_dedup,
     "snapshot_search": q_snapshot_search,
@@ -1959,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_salted": q_radius_salted,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "radius_pairs_prefix": q_radius_pairs_prefix,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2271,6 +2301,40 @@ def _sql_coloc_cand() -> str:
                           AND a.us + {int(COLOC_TAU_S * 1e6)}
         ),
         good AS (SELECT * FROM cand WHERE d <= {_D(COLOC_RADIUS_KM)})
+    """
+
+
+def _sql_staypoints_core() -> str:
+    """Shared staypoints CTE chain: ordered fixes -> lag/break ->
+    running-sum island ids -> per-run aggregates -> min_stay filter
+    (``v``). Used by the staypoints AND trips oracles."""
+    return f"""
+        {_sql_trajectory_points()},
+        l AS (SELECT *, epoch_us(ts) AS us,
+                     lag(lat) OVER w AS pla, lag(lon) OVER w AS plo,
+                     lag(id) OVER w AS pseq
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, id)),
+        b AS (SELECT *,
+                     CASE WHEN pseq IS NULL
+                               OR {exprs.sql_dist_km('pla', 'plo',
+                                                     'lat', 'lon')}
+                                  > {_D(STAY_MOVE_KM)}
+                          THEN 1 ELSE 0 END AS brk
+              FROM l),
+        r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run
+              FROM b),
+        s AS (SELECT user_id, run,
+                     avg(lat) AS clat, avg(lon) AS clon,
+                     min(us) AS enter_us, max(us) AS exit_us,
+                     count(*) AS n_fixes
+              FROM r GROUP BY 1, 2),
+        v AS (SELECT * FROM s
+              WHERE CAST(exit_us - enter_us AS DOUBLE) / 1000000.0e0
+                    >= {_D(STAY_MIN_S)})
     """
 
 
@@ -2838,39 +2902,44 @@ def oracle_sql() -> dict[str, str]:
         # the same <= move boundary (break on strict >), exact integer
         # micros duration arithmetic, centroid by plain avg
         "staypoints": f"""
-            WITH {_sql_trajectory_points()},
-            l AS (SELECT *, epoch_us(ts) AS us,
-                         lag(lat) OVER w AS pla, lag(lon) OVER w AS plo,
-                         lag(id) OVER w AS pseq
-                  FROM p
-                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, id)),
-            b AS (SELECT *,
-                         CASE WHEN pseq IS NULL
-                                   OR {exprs.sql_dist_km('pla', 'plo',
-                                                         'lat', 'lon')}
-                                      > {_D(STAY_MOVE_KM)}
-                              THEN 1 ELSE 0 END AS brk
-                  FROM l),
-            r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
-                                           ORDER BY ts, id
-                                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                           AND CURRENT ROW) AS run
-                  FROM b),
-            s AS (SELECT user_id, run,
-                         avg(lat) AS clat, avg(lon) AS clon,
-                         min(us) AS enter_us, max(us) AS exit_us,
-                         count(*) AS n_fixes
-                  FROM r GROUP BY 1, 2)
+            WITH {_sql_staypoints_core()}
             SELECT user_id,
+                   CAST(run AS BIGINT) AS visit_seq,
                    round(clat, 6) AS center_lat,
                    round(clon, 6) AS center_lon,
                    enter_us, exit_us,
                    round(CAST(exit_us - enter_us AS DOUBLE)
                          / 1000000.0e0, 6) AS duration_s,
                    n_fixes
-            FROM s
-            WHERE CAST(exit_us - enter_us AS DOUBLE) / 1000000.0e0
-                  >= {_D(STAY_MIN_S)}
+            FROM v
+        """,
+        # Trips: the staypoints chain + the identical lead() pairing
+        "trips": f"""
+            WITH {_sql_staypoints_core()},
+            t AS (
+                SELECT user_id,
+                       CAST(run AS BIGINT) AS from_seq,
+                       CAST(lead(run) OVER w AS BIGINT) AS to_seq,
+                       clat AS from_lat, clon AS from_lon,
+                       lead(clat) OVER w AS to_lat,
+                       lead(clon) OVER w AS to_lon,
+                       exit_us AS depart_us,
+                       lead(enter_us) OVER w AS arrive_us
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY run)
+            )
+            SELECT user_id, from_seq, to_seq,
+                   round(from_lat, 6) AS from_lat,
+                   round(from_lon, 6) AS from_lon,
+                   round(to_lat, 6) AS to_lat,
+                   round(to_lon, 6) AS to_lon,
+                   depart_us, arrive_us,
+                   round(CAST(arrive_us - depart_us AS DOUBLE)
+                         / 1000000.0e0, 6) AS travel_s,
+                   round({exprs.sql_dist_km('from_lat', 'from_lon',
+                                            'to_lat', 'to_lon')}, 6)
+                       AS trip_km
+            FROM t WHERE to_seq IS NOT NULL
         """,
         # Getis-Ord Gi*: identical histogram, Chebyshev contribution join
         # and double op order (mean/S/denominator spelled exactly as

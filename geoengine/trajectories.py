@@ -242,9 +242,12 @@ def staypoints(
     averages across the +/-180 seam and distorts — known limitation of
     the lat/lon-mean form, acceptable because runs are move_km-local.
 
-    Output: (entity, center_lat, center_lon, enter_us, exit_us,
-    duration_s, n_fixes) — enter/exit as exact integer micros (the
-    cross-engine-exact time representation the module uses throughout).
+    Output: (entity, visit_seq, center_lat, center_lon, enter_us,
+    exit_us, duration_s, n_fixes) — enter/exit as exact integer micros
+    (the cross-engine-exact time representation the module uses
+    throughout); ``visit_seq`` is the entity's 1-based run counter in
+    time order — deterministic, and gappy when sub-min_stay runs sit
+    between staypoints (:func:`staypoint_trips` orders by it).
 
     100-TB posture: ONE window shuffle on the entity key (lag + running
     break-count share the sort) + one map-side-combinable groupBy on
@@ -290,9 +293,56 @@ def staypoints(
         sp.withColumn("duration_s", dur)
         .where(F.col("duration_s") >= float(min_stay_s))
         .select(
-            entity_col, "center_lat", "center_lon",
+            entity_col, F.col("_run").alias("visit_seq"),
+            "center_lat", "center_lon",
             "enter_us", "exit_us", "duration_s", "n_fixes",
         )
+    )
+
+
+def staypoint_trips(
+    visits: DataFrame,
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Origin-destination TRIPS between an entity's consecutive
+    staypoints (the visit layer of the mobility stack: staypoints say
+    WHERE you stopped, trips say how you moved between stops).
+
+    ``visits`` is :func:`staypoints` output (or any table with
+    visit_seq/center_lat/center_lon/enter_us/exit_us). Each consecutive
+    visit pair (by ``visit_seq``) yields one trip: depart at the origin
+    visit's exit, arrive at the destination visit's enter, great-circle
+    distance between the two centroids. Sub-min_stay pauses between the
+    two staypoints are part of the trip by construction (visit_seq is
+    gappy there — standard semantics).
+
+    Output: (entity, from_seq, to_seq, from_lat, from_lon, to_lat,
+    to_lon, depart_us, arrive_us, travel_s, trip_km). travel_s >= 0
+    always (runs partition each entity's time-ordered fixes).
+
+    100-TB posture: one window (lead) on the entity key over the
+    already-aggregated visit table — rows = staypoints, not fixes.
+    """
+    w = Window.partitionBy(entity_col).orderBy("visit_seq")
+    trips = visits.select(
+        entity_col,
+        F.col("visit_seq").alias("from_seq"),
+        F.lead("visit_seq").over(w).alias("to_seq"),
+        F.col("center_lat").alias("from_lat"),
+        F.col("center_lon").alias("from_lon"),
+        F.lead("center_lat").over(w).alias("to_lat"),
+        F.lead("center_lon").over(w).alias("to_lon"),
+        F.col("exit_us").alias("depart_us"),
+        F.lead("enter_us").over(w).alias("arrive_us"),
+    ).where(F.col("to_seq").isNotNull())
+    return trips.select(
+        "*",
+        ((F.col("arrive_us") - F.col("depart_us")).cast("double") / 1.0e6)
+        .alias("travel_s"),
+        exprs.dist_km(
+            F.col("from_lat"), F.col("from_lon"),
+            F.col("to_lat"), F.col("to_lon"),
+        ).alias("trip_km"),
     )
 
 

@@ -654,3 +654,41 @@ def test_staypoints_validation_and_boundary(spark):
     d = _dist_km(0.0, 0.0, lat_step, 0.0)
     got = staypoints(_points(spark, rows), d, 0.0).collect()
     assert len(got) == 1 and got[0]["n_fixes"] == 2
+
+
+def test_staypoint_trips_matches_brute(spark):
+    from geoengine.trajectories import staypoint_trips, staypoints
+
+    # entity 1: three dwells separated by long hops; the middle dwell is
+    # TOO SHORT (filtered) so the trip spans it; entity 2: single dwell
+    # -> no trips
+    rows = [
+        (1, 1, 0.0, 10.0, 10.0),
+        (2, 1, 400.0, 10.001, 10.0),      # dwell A: 400 s
+        (3, 1, 500.0, 20.0, 20.0),        # hop
+        (4, 1, 550.0, 20.001, 20.0),      # dwell (only 50 s -> filtered)
+        (5, 1, 700.0, 30.0, 30.0),        # hop
+        (6, 1, 1000.0, 30.001, 30.0),
+        (7, 1, 1200.0, 30.0, 30.001),     # dwell B: 500 s
+        (10, 2, 0.0, -50.0, -60.0),
+        (11, 2, 900.0, -50.001, -60.0),   # lone dwell -> no trip
+    ]
+    sp = staypoints(_points(spark, rows), 5.0, 100.0)
+    got = staypoint_trips(sp).collect()
+    assert len(got) == 1
+    t = got[0]
+    assert t["user_id"] == 1
+    assert t["from_seq"] < t["to_seq"]   # gappy seq (filtered run between)
+    assert t["to_seq"] - t["from_seq"] == 2
+    # depart at dwell A's last fix (t=400), arrive at dwell B's first (700)
+    base = 1704067200000000
+    assert t["depart_us"] == base + 400_000_000
+    assert t["arrive_us"] == base + 700_000_000
+    assert t["travel_s"] == pytest.approx(300.0)
+    a_lat, a_lon = np.mean([10.0, 10.001]), 10.0
+    b_lat = np.mean([30.0, 30.001, 30.0])
+    b_lon = np.mean([30.0, 30.0, 30.001])
+    assert t["from_lat"] == pytest.approx(a_lat, abs=1e-12)
+    assert t["to_lat"] == pytest.approx(b_lat, abs=1e-12)
+    assert t["trip_km"] == pytest.approx(
+        _dist_km(a_lat, a_lon, b_lat, b_lon), rel=1e-9)
