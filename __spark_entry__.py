@@ -523,6 +523,27 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon geometry metrics (pip.polygon_metrics): spherical ring
+    area by Chamberlain-Duquette + law-of-cosines perimeter as pure
+    Column folds over the vertex array. The oracle inlines every
+    fixture vertex and replays the identical per-edge arithmetic
+    (edge distances are bit-symmetric, so only the sum order differs —
+    absorbed by rounding; area at 3dp: ~1e6-km^2 magnitudes carry
+    ~1e-7 reassociation drift)."""
+    from geoengine.fixtures import polygons_table
+    from geoengine.pip import polygon_metrics
+
+    polys = polygons_table(spark, PIP_MULTI_N, seed=PIP_MULTI_SEED,
+                           half_width_scale=PIP_MULTI_SCALE)
+    out = polygon_metrics(polys)
+    return out.select(
+        "poly_id", "n_vertices",
+        F.round("perimeter_km", 6).alias("perimeter_km"),
+        F.round("area_km2", 3).alias("area_km2"),
+    )
+
+
 PIP_HOLES_N, PIP_HOLES_SEED, PIP_HOLES_SCALE = 6, 9, 8.0
 
 
@@ -1938,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emerging_hotspots": q_emerging_hotspots,
     "staypoints": q_staypoints,
     "trips": q_trips,
+    "polygon_metrics": q_polygon_metrics,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1971,7 +1993,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "knn_rings": q_knn_rings,
     "radius_bucketed": q_radius_bucketed,
-    "minhash_near_dup": q_minhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
@@ -1989,6 +2010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "radius_pairs_prefix": q_radius_pairs_prefix,
+    "minhash_near_dup": q_minhash_near_dup,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2301,6 +2323,44 @@ def _sql_coloc_cand() -> str:
                           AND a.us + {int(COLOC_TAU_S * 1e6)}
         ),
         good AS (SELECT * FROM cand WHERE d <= {_D(COLOC_RADIUS_KM)})
+    """
+
+
+def _sql_polygon_metrics() -> str:
+    """Per-edge C-D area terms + law-of-cosines edge lengths over the
+    inlined fixture vertices (edges pair each vertex with its
+    predecessor — the same cyclic edge set polygon_metrics folds)."""
+    from geoengine.fixtures import polygon_rings
+
+    edges = []
+    counts = []
+    for pid, ring in polygon_rings(PIP_MULTI_N, PIP_MULTI_SEED,
+                                   PIP_MULTI_SCALE):
+        k = len(ring)
+        counts.append(f"('{pid}', {k})")
+        for j in range(k):
+            yj, xj = ring[j]
+            yk, xk = ring[(j - 1) % k]
+            edges.append(f"('{pid}', {_D(yj)}, {_D(xj)}, {_D(yk)}, {_D(xk)})")
+    vals = ", ".join(edges)
+    cvals = ", ".join(counts)
+    dist = exprs.sql_dist_km("e.yk", "e.xk", "e.yj", "e.xj")
+    return f"""
+        WITH edges(pid, yj, xj, yk, xk) AS (VALUES {vals}),
+        nv(pid, n_vertices) AS (VALUES {cvals}),
+        m AS (
+            SELECT e.pid,
+                   sum({dist}) AS per,
+                   sum(radians(e.xj - e.xk)
+                       * (2.0e0 + sin(radians(e.yk))
+                          + sin(radians(e.yj)))) AS total
+            FROM edges e GROUP BY e.pid
+        )
+        SELECT m.pid AS poly_id, nv.n_vertices,
+               round(per, 6) AS perimeter_km,
+               round(abs(total) * {_D(6371.0 * 6371.0 / 2.0)}, 3)
+                   AS area_km2
+        FROM m JOIN nv ON m.pid = nv.pid
     """
 
 
@@ -3036,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zonal_stats": _sql_zonal_stats(),
+        "polygon_metrics": _sql_polygon_metrics(),
         # Global Moran's I: same frame CTEs as moran_cells, then the
         # scalar aggregates and the I / E[I] / VarN / z chain in the
         # exact double op order index.global_moran_i uses

@@ -325,6 +325,74 @@ def points_in_polygons(
     )
 
 
+def ring_perimeter_km(ring: Column) -> Column:
+    """Great-circle perimeter of a closed ring (``array<struct<lat,
+    lon>>``, implicit closure last->first — the engine's ring layout):
+    the sum of law-of-cosines edge lengths (R=6371, the reference
+    constant). Pure Column fold — no UDF, codegen end to end."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def edge(i: Column) -> Column:
+        p1 = F.get(ring, i)
+        p2 = F.get(ring, F.pmod(i + 1, n))
+        return exprs.dist_km(
+            p1.getField("lat"), p1.getField("lon"),
+            p2.getField("lat"), p2.getField("lon"),
+        )
+
+    return F.aggregate(
+        F.transform(idx, edge), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ring_area_km2(ring: Column) -> Column:
+    """Spherical ring area by the Chamberlain-Duquette (JPL 1989)
+    formula — the geojson-area standard:
+
+        A = |sum_i rad(lon_{i+1} - lon_i)
+                  * (2 + sin(rad lat_i) + sin(rad lat_{i+1}))| * R^2 / 2
+
+    Assumes every edge spans < 180 deg of longitude (the same sane-edge
+    assumption the ray-cast module documents); orientation-insensitive
+    (absolute value). Pure Column fold, no UDF."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def term(i: Column) -> Column:
+        p1 = F.get(ring, i)
+        p2 = F.get(ring, F.pmod(i + 1, n))
+        return F.radians(p2.getField("lon") - p1.getField("lon")) * (
+            F.lit(2.0)
+            + F.sin(F.radians(p1.getField("lat")))
+            + F.sin(F.radians(p2.getField("lat")))
+        )
+
+    total = F.aggregate(
+        F.transform(idx, term), F.lit(0.0), lambda acc, x: acc + x
+    )
+    r = 6371.0
+    return F.abs(total) * F.lit(r * r / 2.0)
+
+
+def polygon_metrics(
+    polygons: DataFrame,
+    poly_id: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Per-polygon geometry metrics over a single-ring polygon table:
+    (poly_id, n_vertices, perimeter_km, area_km2) — spherical area by
+    Chamberlain-Duquette, perimeter by the reference's law-of-cosines
+    distance. One narrow projection, zero shuffles."""
+    ring = F.col(ring_col)
+    return polygons.select(
+        poly_id,
+        F.size(ring).alias("n_vertices"),
+        ring_perimeter_km(ring).alias("perimeter_km"),
+        ring_area_km2(ring).alias("area_km2"),
+    )
+
+
 def zonal_stats(
     points: DataFrame,
     polygons: DataFrame,

@@ -290,3 +290,51 @@ def test_zonal_stats_count_only(spark):
     assert len(rows) == 1
     assert rows[0]["poly_id"] == "sq" and rows[0]["n_points"] == 2
     assert set(rows[0].asDict()) == {"poly_id", "n_points"}
+
+
+def _cd_area_km2(ring):
+    """Chamberlain-Duquette twin: ring = [(lat, lon), ...]."""
+    import math
+    total = 0.0
+    k = len(ring)
+    for i in range(k):
+        la1, lo1 = ring[i]
+        la2, lo2 = ring[(i + 1) % k]
+        total += math.radians(lo2 - lo1) * (
+            2.0 + math.sin(math.radians(la1)) + math.sin(math.radians(la2))
+        )
+    return abs(total) * 6371.0 * 6371.0 / 2.0
+
+
+def test_polygon_metrics_matches_twins(spark):
+    import pytest
+
+    from geoengine.geodesy import dist_law_of_cosines_km
+    from geoengine.pip import polygon_metrics
+
+    sq = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    tri = [(10.0, 20.0), (12.0, 25.0), (15.0, 21.0)]
+    polys = spark.createDataFrame(
+        [("sq", [{"lat": a, "lon": b} for a, b in sq]),
+         ("tri", [{"lat": a, "lon": b} for a, b in tri])],
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )
+    got = {r["poly_id"]: r for r in polygon_metrics(polys).collect()}
+    for name, ring in (("sq", sq), ("tri", tri)):
+        r = got[name]
+        assert r["n_vertices"] == len(ring)
+        per = sum(
+            dist_law_of_cosines_km(*ring[i], *ring[(i + 1) % len(ring)])
+            for i in range(len(ring))
+        )
+        assert r["perimeter_km"] == pytest.approx(per, rel=1e-12)
+        assert r["area_km2"] == pytest.approx(_cd_area_km2(ring), rel=1e-12)
+    # sanity: the 1x1-deg equator square is ~111.19^2 km^2 (planar limit)
+    assert got["sq"]["area_km2"] == pytest.approx(111.19 ** 2, rel=0.01)
+    # orientation-insensitive: reversed winding gives the same area
+    polys_rev = spark.createDataFrame(
+        [("sq", [{"lat": a, "lon": b} for a, b in reversed(sq)])],
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )
+    rev = polygon_metrics(polys_rev).collect()[0]
+    assert rev["area_km2"] == pytest.approx(got["sq"]["area_km2"], rel=1e-12)
