@@ -1732,6 +1732,52 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, build)
 
 
+def q_streaming_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE staypoint detection (streaming.streaming_staypoints): the
+    events table replayed in ts order through applyInPandasWithState,
+    plus one antipodal "flush" fix per user (step always > move_km, so
+    it closes every trailing run and never qualifies itself: duration 0
+    < min_stay). Streaming output over events+flush therefore equals
+    BATCH staypoints over events exactly — the oracle IS the batch
+    staypoints SQL (minus visit_seq, which has no streaming meaning)."""
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_staypoints,
+    )
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        flush = pts.groupBy("user_id").agg(
+            (F.max("id") + F.lit(1)).alias("id"),
+            (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            (-F.max_by("latitude", F.struct("ts", "id"))).alias("latitude"),
+            (F.pmod(
+                F.max_by("longitude", F.struct("ts", "id")) + 360.0, 360.0
+            ) - 180.0).alias("longitude"),
+        ).select("id", "user_id", "ts", "latitude", "longitude")
+        both = pts.unionByName(flush)
+        stream, d = replay_parquet_stream(spark, both, n_files=4,
+                                          order_col="ts")
+        out = streaming_staypoints(stream, STAY_MOVE_KM, STAY_MIN_S)
+        table = run_stream_to_memory(out, "geoeng_stream_staypoints",
+                                     "append", d)
+        return table.select(
+            F.col("entity").alias("user_id"),
+            F.round("center_lat", 6).alias("center_lat"),
+            F.round("center_lon", 6).alias("center_lon"),
+            "enter_us", "exit_us",
+            F.round("duration_s", 6).alias("duration_s"),
+            "n_fixes",
+        )
+
+    return _with_utc(spark, build)
+
+
 def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination trips between consecutive staypoints
     (trajectories.staypoint_trips over the staypoints layer): depart at
@@ -1960,6 +2006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
+    "streaming_staypoints": q_streaming_staypoints,
     "dedup_clusters": q_dedup_clusters,
     "trajectory_segments": q_trajectory_segments,
     "trajectory_stats": q_trajectory_stats,
@@ -1993,7 +2040,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "knn_rings": q_knn_rings,
     "radius_bucketed": q_radius_bucketed,
-    "embedding_near_dup": q_embedding_near_dup,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
     "streaming_radius": q_streaming_radius,
@@ -2011,6 +2057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "radius_pairs_prefix": q_radius_pairs_prefix,
     "minhash_near_dup": q_minhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2965,6 +3012,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_staypoints_core()}
             SELECT user_id,
                    CAST(run AS BIGINT) AS visit_seq,
+                   round(clat, 6) AS center_lat,
+                   round(clon, 6) AS center_lon,
+                   enter_us, exit_us,
+                   round(CAST(exit_us - enter_us AS DOUBLE)
+                         / 1000000.0e0, 6) AS duration_s,
+                   n_fixes
+            FROM v
+        """,
+        # Streaming staypoints == batch staypoints by the flush-fix
+        # construction (see q_streaming_staypoints): the oracle IS the
+        # batch chain, minus the visit_seq column
+        "streaming_staypoints": f"""
+            WITH {_sql_staypoints_core()}
+            SELECT user_id,
                    round(clat, 6) AS center_lat,
                    round(clon, 6) AS center_lon,
                    enter_us, exit_us,

@@ -351,6 +351,37 @@ def main() -> None:
         rep_times["spatial_dbscan"] = _db_times
         secs_extra["spatial_dbscan"] = sorted(_db_times)[0]
 
+        # emerging hot spots over the events fixes with the gate's
+        # 4-day binning (per-slice Gi* + Mann-Kendall) — same scoped
+        # cache-release loop (the slice frame persists via the registry)
+        from geoengine.index import emerging_hotspots
+
+        em_pts = (
+            ev_fix.select(
+                "latitude", "longitude",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            )
+            .withColumn("bin", F.expr(f"us div {_entry.EMERGE_BIN_US}"))
+            .drop("us")
+        )
+
+        def _emerge_once() -> None:
+            reg = []
+            force(emerging_hotspots(em_pts, _entry.EMERGE_HB,
+                                    cache_registry=reg))
+            for h in reg:
+                h.unpersist()
+
+        if warm:
+            _emerge_once()
+        _em_times = []
+        for _ in range(reps):
+            _t0 = time.time()
+            _emerge_once()
+            _em_times.append(round(time.time() - _t0, 3))
+        rep_times["emerging_hotspots"] = _em_times
+        secs_extra["emerging_hotspots"] = sorted(_em_times)[0]
+
     total = round(sum(secs.values()), 3)
     rps = {
         "neighborhood_join_pairs_per_sec": round(n_pairs / secs["radius_join"], 1),

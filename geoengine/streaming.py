@@ -406,6 +406,111 @@ def streaming_cell_counts(
     )
 
 
+def streaming_staypoints(
+    stream_points: DataFrame,
+    move_km: float,
+    min_stay_s: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """LIVE staypoint detection over a point-fix stream — the streaming
+    twin of trajectories.staypoints: state carries each entity's OPEN
+    stationary run (count, coordinate sums, enter/last micros, last
+    fix); a fix stepping further than ``move_km`` (strict >, the batch
+    break rule) CLOSES the run, which is emitted iff its exact
+    integer-micros duration reaches ``min_stay_s`` — the identical
+    comparison the batch filter performs. The trailing open run per
+    entity is never emitted (sessionize_gap's contract); a finite
+    replay certifies batch==streaming by appending one far "flush" fix
+    per entity (antipodal to its last fix, so the step always breaks),
+    which closes every real run and never qualifies itself.
+
+    Fixes must arrive in (ts, seq) order per entity ACROSS micro-batches
+    (replay_parquet_stream order_col contract); within a batch the state
+    fn sorts. NULL-coordinate fixes are dropped (the batch contract).
+    Step distances use the same law-of-cosines/R=6371 formula as the
+    batch Column (python vs JVM libm may differ in the last ulp — a
+    break decision flips only for a step EXACTLY at move_km).
+
+    Output (append): entity, center_lat, center_lon, enter_us, exit_us,
+    duration_s, n_fixes — the batch staypoints schema minus visit_seq
+    (a global run counter has no streaming meaning).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not (move_km > 0):
+        raise ValueError(f"move_km must be > 0, got {move_km!r}")
+    if min_stay_s < 0:
+        raise ValueError(f"min_stay_s must be >= 0, got {min_stay_s!r}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = stream_points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("_ent"),
+        F.col(seq_col).alias("_seq"),
+        us.alias("_us"),
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+    )
+    move = float(move_km)
+    min_stay = float(min_stay_s)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        from geoengine.geodesy import dist_law_of_cosines_km
+
+        if state.exists:
+            n, slat, slon, enter, last, llat, llon = state.get
+        else:
+            n, slat, slon, enter, last, llat, llon = 0, 0.0, 0.0, 0, 0, 0.0, 0.0
+        chunks = [p for p in pdfs]
+        out: list[tuple] = []
+        if chunks:
+            df = pd.concat(chunks).sort_values(["_us", "_seq"])
+            for la, lo, us_v in zip(df["_lat"], df["_lon"], df["_us"]):
+                la, lo, us_v = float(la), float(lo), int(us_v)
+                if n > 0 and dist_law_of_cosines_km(llat, llon, la, lo) <= move:
+                    n, slat, slon = n + 1, slat + la, slon + lo
+                    last, llat, llon = us_v, la, lo
+                    continue
+                if n > 0:
+                    dur = float(last - enter) / 1.0e6
+                    if dur >= min_stay:
+                        out.append((slat / n, slon / n, enter, last, dur, n))
+                n, slat, slon = 1, la, lo
+                enter, last, llat, llon = us_v, us_v, la, lo
+        state.update((int(n), float(slat), float(slon), int(enter),
+                      int(last), float(llat), float(llon)))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]] * len(out),
+                "center_lat": [o[0] for o in out],
+                "center_lon": [o[1] for o in out],
+                "enter_us": [o[2] for o in out],
+                "exit_us": [o[3] for o in out],
+                "duration_s": [o[4] for o in out],
+                "n_fixes": [o[5] for o in out],
+            }
+        )
+
+    ent_type = stream_points.schema[entity_col].dataType.simpleString()
+    return rows.groupBy(F.col("_ent")).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"entity {ent_type}, center_lat double, center_lon double, "
+            "enter_us long, exit_us long, duration_s double, n_fixes long"
+        ),
+        stateStructType=(
+            "n long, sum_lat double, sum_lon double, enter_us long, "
+            "last_us long, last_lat double, last_lon double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_geofence_events(
     stream_points: DataFrame,
     polygons: DataFrame,

@@ -267,3 +267,59 @@ def test_sessionize_gap_equals_batch_twin(spark, sf_dir, tmp_path):
     }
     assert got_set == want_set
     assert len(want_set) > 0
+
+
+def test_streaming_staypoints_equals_batch(spark, tmp_path):
+    """streaming_staypoints over fixes + per-entity antipodal flush fix ==
+    batch trajectories.staypoints over the fixes (exact rows: centroid
+    sums accumulate in the same (ts, seq) order in both paths)."""
+    import datetime as dt
+
+    from geoengine.streaming import (
+        replay_parquet_stream,
+        run_stream_to_memory,
+        streaming_staypoints,
+    )
+    from geoengine.trajectories import staypoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # two entities with dwell/hop/dwell shapes + one lone far fix
+    for ent, base_lat, base_lon in ((1, 10.0, 10.0), (2, -30.0, 140.0)):
+        sec = 0.0
+        seq = ent * 1000
+        for dwell in range(3):
+            for i in range(4 + dwell):
+                rows.append((seq, ent, t0 + dt.timedelta(seconds=sec),
+                             base_lat + dwell * 3.0 + i * 0.0005,
+                             base_lon + dwell * 3.0))
+                sec += 90.0
+                seq += 1
+            sec += 30.0
+    batch = spark.createDataFrame(
+        rows, "id long, user_id long, ts timestamp_ntz, "
+              "latitude double, longitude double")
+    want = sorted(
+        (r["user_id"], round(r["center_lat"], 9), round(r["center_lon"], 9),
+         r["enter_us"], r["exit_us"], r["n_fixes"])
+        for r in staypoints(batch, 1.0, 200.0).collect()
+    )
+    flush = batch.groupBy("user_id").agg(
+        (F.max("id") + F.lit(1)).alias("id"),
+        (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        (-F.max_by("latitude", F.struct("ts", "id"))).alias("latitude"),
+        (F.pmod(F.max_by("longitude", F.struct("ts", "id")) + 360.0, 360.0)
+         - 180.0).alias("longitude"),
+    ).select("id", "user_id", "ts", "latitude", "longitude")
+    stream, d = replay_parquet_stream(
+        spark, batch.unionByName(flush), n_files=4, order_col="ts")
+    got_tbl = run_stream_to_memory(
+        streaming_staypoints(stream, 1.0, 200.0),
+        "t_stream_staypoints", "append", d,
+    ).toPandas()
+    got = sorted(
+        (int(r.entity), round(r.center_lat, 9), round(r.center_lon, 9),
+         int(r.enter_us), int(r.exit_us), int(r.n_fixes))
+        for r in got_tbl.itertuples()
+    )
+    assert got == want and len(want) >= 4  # both entities, several dwells
