@@ -1988,11 +1988,14 @@ def _sql_kde_cells() -> str:
 # changed queries lead (spatial_dbscan; idw_interpolate + kde_cells —
 # spatial field estimation; dedup_clusters; the trajectory family —
 # segments/stats/geofence/co-location/contact-summary/OD-flows/
-# dwell; hot spots + local Moran; zonal stats; streaming geofence; the
-# image/embedding dedup compositions; radius_per_row with per-row
-# units); 31 queries each driver-green in >=2 rounds (r02-r04 or more)
-# park at 51+. tools/check_oracle.py still covers ALL entries every
-# round.
+# dwell; the spatial-statistics family — hot spots, local + global
+# Moran, emerging hot spots; zonal stats + polygon metrics; the
+# mobility visit layer — staypoints/trips/streaming_staypoints;
+# streaming geofence; the image/embedding dedup compositions;
+# radius_per_row with per-row units); 37 queries each driver-green in
+# >=2 rounds (r02-r04 or more) park at 51+. tools/check_oracle.py
+# still covers ALL entries every round (87/87 green at sf0.001 AND
+# sf0.01 this session).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window

@@ -53,7 +53,12 @@ KDE_BW_KM, KDE_HB = 100.0, 7
 N_POINTS_EMERGE, EMERGE_BINS, EMERGE_HB = 20_000_000, 10, 7
 JOBS = ("trajectory_stats", "geofence_visits", "co_location",
         "spatial_dbscan", "idw_interpolate", "kde_cells",
-        "emerging_hotspots")
+        "emerging_hotspots", "staypoints")
+# staypoints: same 20M-fix fixture as trajectory_stats (the operator is
+# the same one-window + reusing-groupBy shape); the key-arithmetic
+# coordinates make successive fixes near-random global hops, so a
+# continental move threshold forms multi-fix runs (~15% continue rate)
+STAY_MOVE_KM_BENCH, STAY_MIN_S_BENCH = 4000.0, 0.0
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -99,6 +104,7 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
     from geoengine.trajectories import (
         co_location_pairs,
         geofence_visits,
+        staypoints,
         trajectory_stats,
     )
 
@@ -170,6 +176,8 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
             idw_queries, idw_samples, "val", IDW_RADIUS_KM, k=IDW_K),
         "kde_cells": lambda: kde_cells(fld_src, KDE_BW_KM, KDE_HB),
         "emerging_hotspots": run_emerging,
+        "staypoints": lambda: staypoints(
+            st_src, STAY_MOVE_KM_BENCH, STAY_MIN_S_BENCH),
     }
     jobs = {k: v for k, v in jobs.items() if k in JOBS}
 
