@@ -335,25 +335,30 @@ def main() -> None:
 
         db_pts = _entry._dbscan_points(spark, sf_dir)
 
+        def run_scoped(name: str, once_fn) -> None:
+            """Warm + reps + min bookkeeping for self-forcing operators
+            that persist via a cache_registry: every rep releases the
+            engine-owned blocks so it measures identical cold work."""
+            if warm:
+                once_fn()
+            times_ = []
+            for _ in range(reps):
+                t0_ = time.time()
+                once_fn()
+                times_.append(round(time.time() - t0_, 3))
+            rep_times[name] = times_
+            secs_extra[name] = sorted(times_)[0]
+
         def _dbscan_once() -> None:
             reg = []
             force(spatial_dbscan(db_pts, 10.0, 8, cache_registry=reg))
             for h in reg:
                 h.unpersist()
 
-        if warm:
-            _dbscan_once()
-        _db_times = []
-        for _ in range(reps):
-            _t0 = time.time()
-            _dbscan_once()
-            _db_times.append(round(time.time() - _t0, 3))
-        rep_times["spatial_dbscan"] = _db_times
-        secs_extra["spatial_dbscan"] = sorted(_db_times)[0]
+        run_scoped("spatial_dbscan", _dbscan_once)
 
         # emerging hot spots over the events fixes with the gate's
-        # 4-day binning (per-slice Gi* + Mann-Kendall) — same scoped
-        # cache-release loop (the slice frame persists via the registry)
+        # 4-day binning (per-slice Gi* + Mann-Kendall)
         from geoengine.index import emerging_hotspots
 
         em_pts = (
@@ -372,15 +377,7 @@ def main() -> None:
             for h in reg:
                 h.unpersist()
 
-        if warm:
-            _emerge_once()
-        _em_times = []
-        for _ in range(reps):
-            _t0 = time.time()
-            _emerge_once()
-            _em_times.append(round(time.time() - _t0, 3))
-        rep_times["emerging_hotspots"] = _em_times
-        secs_extra["emerging_hotspots"] = sorted(_em_times)[0]
+        run_scoped("emerging_hotspots", _emerge_once)
 
     total = round(sum(secs.values()), 3)
     rps = {

@@ -332,7 +332,15 @@ def getis_ord_gi_star(
     broadcast of a 1-row global-stats frame — cost scales with occupied
     cells, not input rows.
     """
-    cells = (
+    cells = _cell_histogram(points, half_bits, lat, lon)
+    return _gi_star_frame(cells, 1 << half_bits, ring, keys=())
+
+
+def _cell_histogram(points: DataFrame, half_bits: int,
+                    lat: str, lon: str) -> DataFrame:
+    """(ix, iy, n_points) occupied-cell histogram — the shared study
+    frame of every grid spatial statistic in this module."""
+    return (
         validate_points(points, lat, lon)
         .select(
             exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
@@ -341,7 +349,74 @@ def getis_ord_gi_star(
         .groupBy("ix", "iy")
         .agg(F.count("*").alias("n_points"))
     )
-    return _gi_star_frame(cells, 1 << half_bits, ring, keys=())
+
+
+def _ring_frame(
+    cells: DataFrame,
+    n: int,
+    ring: int,
+    keys: tuple[str, ...],
+    include_self: bool,
+    sum_alias: str,
+    cnt_alias: str,
+    join_type: str,
+) -> DataFrame:
+    """The ONE Chebyshev-ring neighborhood construction behind Gi* and
+    both Moran statistics: every occupied cell contributes its count to
+    each center position in its ring (dx wraps modulo the grid, dy
+    clamps by dropping off-grid rows; ``include_self`` is the defining
+    difference between Gi* and Moran weights), contributions group to
+    per-center (sum, weight-count), and join back to the occupied cells
+    — ``join_type='left'`` keeps islands (NULL count marks a cell whose
+    whole self-excluded ring is unoccupied). The per-``keys``-group
+    1-row stats frame (_n_cells/_total/_sumsq) rides in by broadcast.
+
+    Output: (*keys, ix, iy, n_points, <sum_alias>, <cnt_alias>,
+    _n_cells, _total, _sumsq).
+    """
+    grp = list(keys)
+    aggs = [
+        F.count("*").alias("_n_cells"),
+        F.sum("n_points").alias("_total"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
+    ]
+    stats = cells.groupBy(*grp).agg(*aggs) if grp else cells.agg(*aggs)
+    offs = list(range(-ring, ring + 1))
+    contrib = (
+        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
+    )
+    if not include_self:
+        contrib = contrib.where(
+            ~((F.col("_dx") == 0) & (F.col("_dy") == 0))
+        )
+    contrib = (
+        contrib.select(
+            *grp,
+            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
+            (F.col("iy") + F.col("_dy")).alias("ciy"),
+            "n_points",
+        )
+        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
+        .groupBy(*grp, "cix", "ciy")
+        .agg(
+            F.sum("n_points").alias(sum_alias),
+            F.count("*").alias(cnt_alias),
+        )
+    )
+    # rename the contribution side's key columns to avoid ambiguity
+    rn = contrib
+    for k in grp:
+        rn = rn.withColumnRenamed(k, f"_c_{k}")
+    cond = (cells["ix"] == rn["cix"]) & (cells["iy"] == rn["ciy"])
+    for k in grp:
+        cond = cond & (cells[k] == rn[f"_c_{k}"])
+    out = cells.join(rn, cond, join_type).drop(
+        "cix", "ciy", *[f"_c_{k}" for k in grp]
+    )
+    if grp:
+        return out.join(F.broadcast(stats), grp)
+    return out.crossJoin(F.broadcast(stats))
 
 
 def _gi_star_frame(
@@ -359,47 +434,10 @@ def _gi_star_frame(
     Output: (*keys, ix, iy, n_points, sum_x, w, gi_z).
     """
     grp = list(keys)
-    aggs = [
-        F.count("*").alias("_n_cells"),
-        F.sum("n_points").alias("_total"),
-        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
-    ]
-    stats = cells.groupBy(*grp).agg(*aggs) if grp else cells.agg(*aggs)
-    # every occupied cell contributes its count to each center position in
-    # its Chebyshev ring (dx wraps, dy clamps by dropping off-grid rows);
-    # joining the contributions back to the occupied cells keeps exactly
-    # the frame members as centers
-    offs = list(range(-ring, ring + 1))
-    contrib = (
-        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .select(
-            *grp,
-            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
-            (F.col("iy") + F.col("_dy")).alias("ciy"),
-            "n_points",
-        )
-        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
-        .groupBy(*grp, "cix", "ciy")
-        .agg(
-            F.sum("n_points").alias("sum_x"),
-            F.count("*").alias("w"),
-        )
-    )
-    # rename the contribution side's key columns to avoid ambiguity
-    rn = contrib
-    for k in grp:
-        rn = rn.withColumnRenamed(k, f"_c_{k}")
-    cond = (cells["ix"] == rn["cix"]) & (cells["iy"] == rn["ciy"])
-    for k in grp:
-        cond = cond & (cells[k] == rn[f"_c_{k}"])
-    out = cells.join(rn, cond).drop(
-        "cix", "ciy", *[f"_c_{k}" for k in grp]
-    )
-    if grp:
-        out = out.join(F.broadcast(stats), grp)
-    else:
-        out = out.crossJoin(F.broadcast(stats))
+    # Gi* weights INCLUDE self, so every frame cell has a contribution
+    # row and the inner join keeps exactly the frame members
+    out = _ring_frame(cells, n, ring, keys, include_self=True,
+                      sum_alias="sum_x", cnt_alias="w", join_type="inner")
     nn = F.col("_n_cells").cast("double")
     w = F.col("w").cast("double")
     mean = F.col("_total").cast("double") / nn
@@ -422,52 +460,15 @@ def _moran_cell_frame(
     lat: str,
     lon: str,
 ) -> DataFrame:
-    """Shared front half of the two Moran statistics: occupied-cell
+    """Shared front half of the two Moran statistics: the occupied-cell
     histogram LEFT-joined with its self-EXCLUDED Chebyshev ring
-    contributions (NULL ``_w`` marks an island — a cell whose whole
-    ring is unoccupied has no contribution row at all) plus the
-    broadcast 1-row global stats (``_n_cells``/``_total``/``_sumsq``)."""
-    n = 1 << half_bits
-    cells = (
-        validate_points(points, lat, lon)
-        .select(
-            exprs.grid_ix(F.col(lon), half_bits).alias("ix"),
-            exprs.grid_iy(F.col(lat), half_bits).alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count("*").alias("n_points"))
-    )
-    stats = cells.agg(
-        F.count("*").alias("_n_cells"),
-        F.sum("n_points").alias("_total"),
-        F.sum(F.col("n_points") * F.col("n_points")).alias("_sumsq"),
-    )
-    offs = list(range(-ring, ring + 1))
-    contrib = (
-        cells.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .withColumn("_dy", F.explode(F.array(*[F.lit(d) for d in offs])))
-        .where(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
-        .select(
-            F.pmod(F.col("ix") + F.col("_dx"), F.lit(n)).alias("cix"),
-            (F.col("iy") + F.col("_dy")).alias("ciy"),
-            "n_points",
-        )
-        .where((F.col("ciy") >= 0) & (F.col("ciy") < n))
-        .groupBy("cix", "ciy")
-        .agg(
-            F.sum("n_points").alias("_lag_sum"),
-            F.count("*").alias("_w"),
-        )
-    )
-    return (
-        cells.join(
-            contrib,
-            (cells["ix"] == contrib["cix"]) & (cells["iy"] == contrib["ciy"]),
-            "left",
-        )
-        .drop("cix", "ciy")
-        .crossJoin(F.broadcast(stats))
-    )
+    contributions (NULL ``_w`` marks an island) plus the broadcast
+    1-row global stats — the same :func:`_ring_frame` construction Gi*
+    uses, flipped on the two defining switches."""
+    cells = _cell_histogram(points, half_bits, lat, lon)
+    return _ring_frame(cells, 1 << half_bits, ring, keys=(),
+                       include_self=False, sum_alias="_lag_sum",
+                       cnt_alias="_w", join_type="left")
 
 
 def local_moran_i(

@@ -329,20 +329,37 @@ def ring_perimeter_km(ring: Column) -> Column:
     """Great-circle perimeter of a closed ring (``array<struct<lat,
     lon>>``, implicit closure last->first — the engine's ring layout):
     the sum of law-of-cosines edge lengths (R=6371, the reference
-    constant). Pure Column fold — no UDF, codegen end to end."""
+    constant). Pure Column fold — no UDF, codegen end to end.
+
+    NULL contract: an empty ring OR any NULL vertex coordinate yields
+    NULL (the explicit all-four guard below — dist_km's least/greatest
+    clamp IGNORES NULLs, which would otherwise fold a NULL endpoint to
+    a phantom acos(-1) 20,015-km edge; same trap the trajectory module
+    documents). The empty-ring guard also keeps ANSI mode from raising
+    on pmod(i+1, 0)."""
     n = F.size(ring)
     idx = F.sequence(F.lit(0), n - 1)
 
     def edge(i: Column) -> Column:
         p1 = F.get(ring, i)
         p2 = F.get(ring, F.pmod(i + 1, n))
-        return exprs.dist_km(
-            p1.getField("lat"), p1.getField("lon"),
-            p2.getField("lat"), p2.getField("lon"),
+        coords_ok = (
+            p1.getField("lat").isNotNull() & p1.getField("lon").isNotNull()
+            & p2.getField("lat").isNotNull() & p2.getField("lon").isNotNull()
+        )
+        return F.when(
+            coords_ok,
+            exprs.dist_km(
+                p1.getField("lat"), p1.getField("lon"),
+                p2.getField("lat"), p2.getField("lon"),
+            ),
         )
 
-    return F.aggregate(
-        F.transform(idx, edge), F.lit(0.0), lambda acc, x: acc + x
+    return F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(idx, edge), F.lit(0.0), lambda acc, x: acc + x
+        ),
     )
 
 
@@ -355,7 +372,11 @@ def ring_area_km2(ring: Column) -> Column:
 
     Assumes every edge spans < 180 deg of longitude (the same sane-edge
     assumption the ray-cast module documents); orientation-insensitive
-    (absolute value). Pure Column fold, no UDF."""
+    (absolute value). Pure Column fold, no UDF.
+
+    NULL contract: empty ring or any NULL vertex coordinate -> NULL
+    (NULL terms already propagate through the trig chain; the empty-ring
+    guard keeps ANSI mode from raising on pmod(i+1, 0))."""
     n = F.size(ring)
     idx = F.sequence(F.lit(0), n - 1)
 
@@ -372,7 +393,7 @@ def ring_area_km2(ring: Column) -> Column:
         F.transform(idx, term), F.lit(0.0), lambda acc, x: acc + x
     )
     r = 6371.0
-    return F.abs(total) * F.lit(r * r / 2.0)
+    return F.when(n > 0, F.abs(total) * F.lit(r * r / 2.0))
 
 
 def polygon_metrics(

@@ -430,7 +430,9 @@ def streaming_staypoints(
 
     Fixes must arrive in (ts, seq) order per entity ACROSS micro-batches
     (replay_parquet_stream order_col contract); within a batch the state
-    fn sorts. NULL-coordinate fixes are dropped (the batch contract).
+    fn sorts. NULL-coordinate and NULL-timestamp fixes are dropped (the
+    identical batch filter — a NULL ts would otherwise reach the state
+    fn as NaN and kill the stream).
     Step distances use the same law-of-cosines/R=6371 formula as the
     batch Column (python vs JVM libm may differ in the last ulp — a
     break decision flips only for a step EXACTLY at move_km).
@@ -448,6 +450,7 @@ def streaming_staypoints(
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     rows = stream_points.where(
         F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+        & F.col(ts_col).isNotNull()
     ).select(
         F.col(entity_col).alias("_ent"),
         F.col(seq_col).alias("_seq"),

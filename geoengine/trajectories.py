@@ -235,9 +235,12 @@ def staypoints(
     ``min_stay_s`` become staypoints, reported at the run's arithmetic
     centroid.
 
-    NULL-coordinate fixes are DROPPED up front (they can neither extend
-    nor anchor a run — unlike segment_metrics' NULL-metric contract,
-    documented difference). The arithmetic centroid is exact for the
+    NULL-coordinate and NULL-timestamp fixes are DROPPED up front (a
+    fix with no time has no place in an ordered trajectory; neither can
+    extend nor anchor a run — unlike segment_metrics' NULL-metric
+    contract, documented difference; streaming_staypoints applies the
+    identical filter, keeping batch==streaming). The arithmetic
+    centroid is exact for the
     local clusters staypoints describe; a run hugging the antimeridian
     averages across the +/-180 seam and distorts — known limitation of
     the lat/lon-mean form, acceptable because runs are move_km-local.
@@ -258,7 +261,9 @@ def staypoints(
     if min_stay_s < 0:
         raise ValueError(f"min_stay_s must be >= 0, got {min_stay_s!r}")
     la, lo = F.col(lat_col), F.col(lon_col)
-    pts = points.where(la.isNotNull() & lo.isNotNull())
+    pts = points.where(
+        la.isNotNull() & lo.isNotNull() & F.col(ts_col).isNotNull()
+    )
     w = Window.partitionBy(entity_col).orderBy(ts_col, seq_col)
     step = exprs.dist_km(F.lag(la).over(w), F.lag(lo).over(w), la, lo)
     brk = F.when(

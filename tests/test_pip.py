@@ -338,3 +338,24 @@ def test_polygon_metrics_matches_twins(spark):
     )
     rev = polygon_metrics(polys_rev).collect()[0]
     assert rev["area_km2"] == pytest.approx(got["sq"]["area_km2"], rel=1e-12)
+
+
+def test_polygon_metrics_null_contract(spark):
+    """Empty ring or NULL vertex coordinate -> NULL metrics (never the
+    phantom acos(-1) edge, never an ANSI pmod(_, 0) error)."""
+    from geoengine.pip import polygon_metrics
+
+    polys = spark.createDataFrame(
+        [("empty", []),
+         ("nullv", [{"lat": 0.0, "lon": 0.0}, {"lat": None, "lon": 1.0},
+                    {"lat": 1.0, "lon": 1.0}]),
+         ("ok", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
+                 {"lat": 1.0, "lon": 0.5}])],
+        schema="poly_id string, ring array<struct<lat:double, lon:double>>",
+    )
+    got = {r["poly_id"]: r for r in polygon_metrics(polys).collect()}
+    assert got["empty"]["perimeter_km"] is None
+    assert got["empty"]["area_km2"] is None
+    assert got["nullv"]["perimeter_km"] is None
+    assert got["nullv"]["area_km2"] is None
+    assert got["ok"]["perimeter_km"] > 0 and got["ok"]["area_km2"] > 0

@@ -692,3 +692,21 @@ def test_staypoint_trips_matches_brute(spark):
     assert t["to_lat"] == pytest.approx(b_lat, abs=1e-12)
     assert t["trip_km"] == pytest.approx(
         _dist_km(a_lat, a_lon, b_lat, b_lon), rel=1e-9)
+
+
+def test_staypoints_null_ts_dropped(spark):
+    from geoengine.trajectories import staypoints
+
+    rows = [
+        (1, 1, 0.0, 10.0, 10.0),
+        (3, 1, 300.0, 10.001, 10.0),
+    ]
+    df = _points(spark, rows).unionByName(
+        spark.createDataFrame(
+            [(2, 1, None, 10.0005, 10.0)],
+            "id long, user_id long, ts timestamp_ntz, "
+            "latitude double, longitude double",
+        )
+    )
+    got = staypoints(df, 2.0, 100.0).collect()
+    assert len(got) == 1 and got[0]["n_fixes"] == 2  # NULL-ts fix dropped

@@ -204,9 +204,9 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--jobs", default="trajectory_stats,geofence_visits,"
-                    "co_location,spatial_dbscan",
-                    help="comma list to run a subset")
+    ap.add_argument("--jobs", default=",".join(JOBS),
+                    help="comma list to run a subset (default: ALL jobs "
+                         "in the module JOBS tuple)")
     ap.add_argument("--fence-fixes", type=int, default=None,
                     help="override N_FIXES_FENCE (bigger -> less "
                          "overhead-exposed geofence measurement)")
