@@ -1840,6 +1840,34 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, build)
 
 
+def q_gi_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-slice Gi* frame (index.gi_star_slices) — the
+    emerging-hotspots INPUT surface certified directly: one row per
+    occupied (4-day slice, cell) with the slice-local z-score. The
+    oracle is the emerging oracle's gi CTE chain, selected before the
+    Mann-Kendall stage."""
+    from geoengine.index import gi_star_slices
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = (
+            datasets.with_point(ev, "event_id", 37, 91)
+            .select(
+                "latitude", "longitude",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            )
+            .withColumn("bin", F.expr(f"us div {EMERGE_BIN_US}"))
+            .drop("us")
+        )
+        out = gi_star_slices(pts, EMERGE_HB)
+        return out.select(
+            "bin", "ix", "iy", "n_points", "sum_x", "w",
+            F.round("gi_z", 6).alias("gi_z"),
+        )
+
+    return _with_utc(spark, build)
+
+
 def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call EMBEDDING corpus dedup (similarity.dedup_embeddings —
     the semantic arm, next to dedup_documents and dedup_images): exact
@@ -1992,10 +2020,10 @@ def _sql_kde_cells() -> str:
 # Moran, emerging hot spots; zonal stats + polygon metrics; the
 # mobility visit layer — staypoints/trips/streaming_staypoints;
 # streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 37 queries each driver-green in
+# radius_per_row with per-row units); 38 queries each driver-green in
 # >=2 rounds (r02-r04 or more) park at 51+. tools/check_oracle.py
-# still covers ALL entries every round (87/87 green at sf0.001 AND
-# sf0.01 this session).
+# still covers ALL entries every round (88/88 green at sf0.01 and
+# 87+gi_slices at sf0.001 this session).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
@@ -2006,6 +2034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moran_global": q_moran_global,
     "zonal_stats": q_zonal_stats,
     "emerging_hotspots": q_emerging_hotspots,
+    "gi_slices": q_gi_slices,
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
@@ -2042,7 +2071,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "knn": q_knn,
     "knn_rings": q_knn_rings,
-    "radius_bucketed": q_radius_bucketed,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
     "streaming_radius": q_streaming_radius,
@@ -2061,6 +2089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs_prefix": q_radius_pairs_prefix,
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
+    "radius_bucketed": q_radius_bucketed,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -3022,6 +3051,60 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000.0e0, 6) AS duration_s,
                    n_fixes
             FROM v
+        """,
+        # Per-slice Gi* frame directly: the emerging oracle's gi CTE
+        # chain, selected before the Mann-Kendall stage (sum_x/w kept
+        # as the raw BIGINTs the operator emits)
+        "gi_slices": f"""
+            WITH p AS (SELECT {_E_LAT} AS lat, {_E_LON} AS lon,
+                              epoch_us(ts) // {EMERGE_BIN_US} AS bin
+                       FROM events),
+            cells AS (
+                SELECT bin,
+                       {exprs.sql_grid_ix('lon', EMERGE_HB)} AS ix,
+                       {exprs.sql_grid_iy('lat', EMERGE_HB)} AS iy,
+                       count(*) AS n_points
+                FROM p GROUP BY 1, 2, 3
+            ),
+            st AS (SELECT bin, CAST(count(*) AS DOUBLE) AS nc,
+                          CAST(sum(n_points) AS DOUBLE) AS tot,
+                          CAST(sum(n_points * n_points) AS DOUBLE) AS ssq
+                   FROM cells GROUP BY bin),
+            contrib AS (
+                SELECT bin,
+                       (((ix + dx) % {1 << EMERGE_HB}) + {1 << EMERGE_HB})
+                           % {1 << EMERGE_HB} AS cix,
+                       iy + dy AS ciy, n_points
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dxs(dx),
+                     (VALUES (-1), (0), (1)) dys(dy)
+                WHERE iy + dy >= 0 AND iy + dy < {1 << EMERGE_HB}
+            ),
+            nb AS (SELECT bin, cix, ciy, sum(n_points) AS sum_x,
+                          count(*) AS w
+                   FROM contrib GROUP BY 1, 2, 3)
+            SELECT bin, ix, iy, n_points,
+                   CAST(sum_x AS BIGINT) AS sum_x, w,
+                   round(CASE WHEN nc > 1.0e0 THEN
+                              CASE WHEN s * sqrt((nc * wd - wd * wd)
+                                                 / (nc - 1.0e0)) > 0.0e0
+                                   THEN (sxd - tot / nc * wd)
+                                        / (s * sqrt((nc * wd - wd * wd)
+                                                    / (nc - 1.0e0)))
+                              END
+                         END, 6) AS gi_z
+            FROM (
+                SELECT c.bin, c.ix, c.iy, c.n_points, nb.sum_x, nb.w,
+                       CAST(nb.sum_x AS DOUBLE) AS sxd,
+                       CAST(nb.w AS DOUBLE) AS wd,
+                       st.nc, st.tot,
+                       sqrt(st.ssq / st.nc - (st.tot / st.nc)
+                            * (st.tot / st.nc)) AS s
+                FROM cells c
+                JOIN nb ON c.bin = nb.bin AND c.ix = nb.cix
+                       AND c.iy = nb.ciy
+                JOIN st ON c.bin = st.bin
+            )
         """,
         # Streaming staypoints == batch staypoints by the flush-fix
         # construction (see q_streaming_staypoints): the oracle IS the
