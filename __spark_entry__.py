@@ -1732,6 +1732,37 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, build)
 
 
+SNAPSHOT_AT = "2024-01-16 00:00:00"  # events-table midpoint
+SNAPSHOT_AT_US = 1_705_363_200_000_000  # epoch micros of the above (UTC)
+
+
+def q_position_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory snapshot (trajectories.positions_at): every user's
+    linearly interpolated position at the events-table midpoint —
+    bracketing fixes by (ts, seq) max_by/min_by, exact integer-micros
+    fraction, interior-only semantics. The oracle replays the brackets
+    with DESC/ASC row_number windows and the identical interpolation
+    arithmetic."""
+    from geoengine.trajectories import positions_at
+
+    def build():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = datasets.with_point(ev, "event_id", 37, 91).select(
+            F.col("event_id").alias("id"), "user_id", "ts",
+            "latitude", "longitude",
+        )
+        out = positions_at(pts, SNAPSHOT_AT)
+        return out.select(
+            "user_id",
+            F.round("latitude", 6).alias("latitude"),
+            F.round("longitude", 6).alias("longitude"),
+            "prev_us", "next_us",
+            F.round("gap_s", 6).alias("gap_s"),
+        )
+
+    return _with_utc(spark, build)
+
+
 def q_streaming_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE staypoint detection (streaming.streaming_staypoints): the
     events table replayed in ts order through applyInPandasWithState,
@@ -2020,10 +2051,10 @@ def _sql_kde_cells() -> str:
 # Moran, emerging hot spots; zonal stats + polygon metrics; the
 # mobility visit layer — staypoints/trips/streaming_staypoints;
 # streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 38 queries each driver-green in
+# radius_per_row with per-row units); 39 queries each driver-green in
 # >=2 rounds (r02-r04 or more) park at 51+. tools/check_oracle.py
-# still covers ALL entries every round (88/88 green at sf0.01 and
-# 87+gi_slices at sf0.001 this session).
+# still covers ALL entries every round (full sweeps green at both gate
+# scales this session; every new query tri-scale-certified).
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 new + changed — inside the window
@@ -2035,6 +2066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "emerging_hotspots": q_emerging_hotspots,
     "gi_slices": q_gi_slices,
+    "position_snapshot": q_position_snapshot,
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
@@ -2069,7 +2101,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     # core engine + pipeline surface (singly- or recently-certified kept in)
     "radius_pairs": q_radius_pairs,
-    "knn": q_knn,
     "knn_rings": q_knn_rings,
     "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
@@ -2090,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "radius_bucketed": q_radius_bucketed,
+    "knn": q_knn,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -3105,6 +3137,37 @@ def oracle_sql() -> dict[str, str]:
                        AND c.iy = nb.ciy
                 JOIN st ON c.bin = st.bin
             )
+        """,
+        # Trajectory snapshot: bracket selection replayed with DESC/ASC
+        # row_number windows, identical interpolation arithmetic
+        "position_snapshot": f"""
+            WITH {_sql_trajectory_points()},
+            b AS (SELECT user_id, epoch_us(ts) AS us, id, lat, lon FROM p),
+            pv AS (SELECT user_id, us, lat, lon,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY us DESC, id DESC)
+                              AS rn
+                   FROM b WHERE us <= {SNAPSHOT_AT_US}),
+            nx AS (SELECT user_id, us, lat, lon,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY us ASC, id ASC) AS rn
+                   FROM b WHERE us > {SNAPSHOT_AT_US}),
+            j AS (SELECT pv.user_id,
+                         pv.us AS pus, pv.lat AS plat, pv.lon AS plon,
+                         nx.us AS nus, nx.lat AS nlat, nx.lon AS nlon
+                  FROM pv JOIN nx ON pv.user_id = nx.user_id
+                  WHERE pv.rn = 1 AND nx.rn = 1)
+            SELECT user_id,
+                   round(plat + (nlat - plat)
+                         * (CAST({SNAPSHOT_AT_US} - pus AS DOUBLE)
+                            / CAST(nus - pus AS DOUBLE)), 6) AS latitude,
+                   round(plon + (nlon - plon)
+                         * (CAST({SNAPSHOT_AT_US} - pus AS DOUBLE)
+                            / CAST(nus - pus AS DOUBLE)), 6) AS longitude,
+                   pus AS prev_us, nus AS next_us,
+                   round(CAST(nus - pus AS DOUBLE) / 1000000.0e0, 6)
+                       AS gap_s
+            FROM j
         """,
         # Streaming staypoints == batch staypoints by the flush-fix
         # construction (see q_streaming_staypoints): the oracle IS the

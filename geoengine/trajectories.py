@@ -305,6 +305,82 @@ def staypoints(
     )
 
 
+def positions_at(
+    points: DataFrame,
+    at_ts,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    max_gap_s: float | None = None,
+) -> DataFrame:
+    """Trajectory SNAPSHOT: where was every entity at time ``at_ts``?
+    Linear time interpolation between the bracketing fixes — prev = the
+    entity's last fix with ts <= at (deterministic (ts, seq) tie-break),
+    next = its first fix with ts > at:
+
+        f   = (at_us - prev_us) / (next_us - prev_us)   (exact micros)
+        lat = prev_lat + (next_lat - prev_lat) * f       (same for lon)
+
+    INTERIOR interpolation only: entities without both brackets (first
+    fix after ``at``, or last fix before it) are absent — inner
+    semantics, like idw_interpolate. ``max_gap_s`` optionally drops
+    brackets wider than trustworthy. The strict prev<=at<next split
+    makes next_us > prev_us always (no zero division). Coordinate
+    interpolation is planar in lat/lon — a bracket crossing the
+    antimeridian distorts (the staypoints centroid's documented
+    limitation; brackets are short in practice). NULL coordinate/ts
+    fixes are dropped.
+
+    100-TB posture: two map-side-combinable groupBys (max_by / min_by —
+    no window sort) + one equi-join on the entity key; the time filters
+    push to the scan.
+    """
+    at_us = F.unix_micros(F.lit(at_ts).cast("timestamp"))
+    la, lo = F.col(lat_col), F.col(lon_col)
+    base = points.where(
+        la.isNotNull() & lo.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("_ent"),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+        F.col(seq_col).alias("_seq"),
+        la.alias("_lat"),
+        lo.alias("_lon"),
+    )
+    fix = F.struct(F.col("_us"), F.col("_lat"), F.col("_lon"))
+    order = F.struct(F.col("_us"), F.col("_seq"))
+    prevs = (
+        base.where(F.col("_us") <= at_us)
+        .groupBy("_ent")
+        .agg(F.max_by(fix, order).alias("_p"))
+    )
+    nexts = (
+        base.where(F.col("_us") > at_us)
+        .groupBy("_ent")
+        .agg(F.min_by(fix, order).alias("_n"))
+    )
+    j = prevs.join(nexts, "_ent")
+    p, n = F.col("_p"), F.col("_n")
+    gap = (n.getField("_us") - p.getField("_us")).cast("double") / 1.0e6
+    if max_gap_s is not None:
+        j = j.where(gap <= float(max_gap_s))
+    f = (
+        (at_us - p.getField("_us")).cast("double")
+        / (n.getField("_us") - p.getField("_us")).cast("double")
+    )
+    lat_i = p.getField("_lat") + (n.getField("_lat") - p.getField("_lat")) * f
+    lon_i = p.getField("_lon") + (n.getField("_lon") - p.getField("_lon")) * f
+    return j.select(
+        F.col("_ent").alias(entity_col),
+        lat_i.alias("latitude"),
+        lon_i.alias("longitude"),
+        p.getField("_us").alias("prev_us"),
+        n.getField("_us").alias("next_us"),
+        gap.alias("gap_s"),
+    )
+
+
 def staypoint_trips(
     visits: DataFrame,
     entity_col: str = "user_id",

@@ -710,3 +710,46 @@ def test_staypoints_null_ts_dropped(spark):
     )
     got = staypoints(df, 2.0, 100.0).collect()
     assert len(got) == 1 and got[0]["n_fixes"] == 2  # NULL-ts fix dropped
+
+
+def test_positions_at_interpolation(spark):
+    from geoengine.trajectories import positions_at
+
+    rows = [
+        # entity 1: bracket 100..300 s around at=200 -> f=0.5
+        (1, 1, 100.0, 10.0, 20.0),
+        (2, 1, 300.0, 12.0, 26.0),
+        # entity 2: fix exactly AT the query time -> it is prev (<=),
+        # next is the later fix; f=0
+        (10, 2, 200.0, -5.0, 7.0),
+        (11, 2, 400.0, -9.0, 3.0),
+        # entity 3: only fixes BEFORE at -> absent
+        (20, 3, 50.0, 1.0, 1.0),
+        # entity 4: only fixes AFTER at -> absent
+        (30, 4, 250.0, 2.0, 2.0),
+        # entity 5: equal-ts tie at prev -> larger seq wins (ts, seq order)
+        (40, 5, 100.0, 0.0, 0.0),
+        (41, 5, 100.0, 4.0, 8.0),
+        (42, 5, 300.0, 8.0, 16.0),
+    ]
+    at = _ts(200.0)
+    got = {r["user_id"]: r
+           for r in positions_at(_points(spark, rows), at).collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1]["latitude"] == pytest.approx(11.0)
+    assert got[1]["longitude"] == pytest.approx(23.0)
+    assert got[1]["gap_s"] == pytest.approx(200.0)
+    assert got[2]["latitude"] == pytest.approx(-5.0)  # f=0 -> prev exactly
+    assert got[2]["prev_us"] % 1_000_000 == 0
+    # entity 5: prev = seq 41 (4.0, 8.0), f = 0.5 -> (6.0, 12.0)
+    assert got[5]["latitude"] == pytest.approx(6.0)
+    assert got[5]["longitude"] == pytest.approx(12.0)
+    # max_gap drops the wide bracket of entity 2 (200 s)
+    tight = {r["user_id"]
+             for r in positions_at(_points(spark, rows), at,
+                                   max_gap_s=150.0).collect()}
+    assert tight == set()  # entity 1 gap 200, entity 2 gap 200, e5 gap 200
+    loose = {r["user_id"]
+             for r in positions_at(_points(spark, rows), at,
+                                   max_gap_s=250.0).collect()}
+    assert loose == {1, 2, 5}
