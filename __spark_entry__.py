@@ -1732,6 +1732,55 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_utc(spark, build)
 
 
+ENTROPY_HB = 4
+
+
+def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (trajectories.radius_of_gyration —
+    the Gonzalez et al. mobility dispersion metric): centroid groupBy +
+    entity equi-join + sqrt(mean squared great-circle distance). The
+    oracle replays the identical two-pass aggregate."""
+    from geoengine.trajectories import radius_of_gyration
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = datasets.with_point(pts, "event_id", 37, 91).select(
+        "user_id", "latitude", "longitude"
+    )
+    out = radius_of_gyration(pts)
+    # The centroid columns are EXCLUDED from the gate output: the
+    # fixture coordinates are small rationals whose per-user means land
+    # EXACTLY on decimal half-boundaries (observed -26.919249999999998
+    # at sf0.1), where Spark's BigDecimal HALF_UP round and DuckDB's
+    # multiply-shift double round disagree by one step at ANY precision
+    # — a round()-semantics artifact, not a value mismatch (the raw
+    # means compare bit-identical; probe in BASELINE.md). The centroid
+    # is still certified THROUGH rg_km, which is a function of it;
+    # rg values are acos-derived irrationals with no boundary
+    # clustering (3dp per the big-set rule).
+    return out.select(
+        "user_id", "n_fixes",
+        F.round("rg_km", 3).alias("rg_km"),
+    )
+
+
+def q_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's visited-cell distribution
+    (trajectories.location_entropy, Song et al. predictability family)
+    via the exact ln(n) - sum(k ln k)/n decomposition — both terms fold
+    map-side, no join. The oracle mirrors the identical algebra."""
+    from geoengine.trajectories import location_entropy
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = datasets.with_point(pts, "event_id", 37, 91).select(
+        "user_id", "latitude", "longitude"
+    )
+    out = location_entropy(pts, ENTROPY_HB)
+    return out.select(
+        "user_id", "n_fixes", "n_cells",
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
 SNAPSHOT_AT = "2024-01-16 00:00:00"  # events-table midpoint
 SNAPSHOT_AT_US = 1_705_363_200_000_000  # epoch micros of the above (UTC)
 
@@ -2051,7 +2100,7 @@ def _sql_kde_cells() -> str:
 # Moran, emerging hot spots; zonal stats + polygon metrics; the
 # mobility visit layer — staypoints/trips/streaming_staypoints;
 # streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 39 queries each driver-green in
+# radius_per_row with per-row units); 41 queries each driver-green in
 # >=2 rounds (r02-r04 or more) park at 51+. tools/check_oracle.py
 # still covers ALL entries every round (full sweeps green at both gate
 # scales this session; every new query tri-scale-certified).
@@ -2067,6 +2116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emerging_hotspots": q_emerging_hotspots,
     "gi_slices": q_gi_slices,
     "position_snapshot": q_position_snapshot,
+    "radius_gyration": q_radius_gyration,
+    "location_entropy": q_location_entropy,
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
@@ -2100,9 +2151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "text_stats": q_text_stats,
     # core engine + pipeline surface (singly- or recently-certified kept in)
-    "radius_pairs": q_radius_pairs,
     "knn_rings": q_knn_rings,
-    "images_phash": q_images_phash,
     "image_near_dup": q_image_near_dup,
     "streaming_radius": q_streaming_radius,
     "streaming_dedup": q_streaming_dedup,
@@ -2122,6 +2171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "radius_bucketed": q_radius_bucketed,
     "knn": q_knn,
+    "radius_pairs": q_radius_pairs,
+    "images_phash": q_images_phash,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -3137,6 +3188,40 @@ def oracle_sql() -> dict[str, str]:
                        AND c.iy = nb.ciy
                 JOIN st ON c.bin = st.bin
             )
+        """,
+        # Radius of gyration: identical two-pass aggregate (centroid ->
+        # join -> sqrt(avg(d^2)))
+        "radius_gyration": f"""
+            WITH p AS (SELECT user_id, {_E_LAT} AS lat, {_E_LON} AS lon
+                       FROM events),
+            c AS (SELECT user_id, avg(lat) AS clat, avg(lon) AS clon
+                  FROM p GROUP BY 1),
+            d AS (SELECT p.user_id, c.clat, c.clon,
+                         {exprs.sql_dist_km('p.lat', 'p.lon',
+                                            'c.clat', 'c.clon')} AS dd
+                  FROM p JOIN c USING (user_id))
+            SELECT user_id, count(*) AS n_fixes,
+                   round(sqrt(avg(dd * dd)), 3) AS rg_km
+            FROM d GROUP BY user_id, clat, clon
+        """,
+        # Location entropy: the same ln(n) - sum(k ln k)/n decomposition
+        "location_entropy": f"""
+            WITH p AS (SELECT user_id, {_E_LAT} AS lat, {_E_LON} AS lon
+                       FROM events),
+            g AS (SELECT user_id,
+                         {exprs.sql_grid_key(
+                             exprs.sql_grid_ix('lon', ENTROPY_HB),
+                             exprs.sql_grid_iy('lat', ENTROPY_HB),
+                             ENTROPY_HB)} AS cell,
+                         count(*) AS k
+                  FROM p GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(k) AS BIGINT) AS n_fixes,
+                   count(*) AS n_cells,
+                   round(ln(CAST(sum(k) AS DOUBLE))
+                         - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                           / CAST(sum(k) AS DOUBLE), 6) AS entropy
+            FROM g GROUP BY user_id
         """,
         # Trajectory snapshot: bracket selection replayed with DESC/ASC
         # row_number windows, identical interpolation arithmetic

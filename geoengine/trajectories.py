@@ -305,6 +305,104 @@ def staypoints(
     )
 
 
+def radius_of_gyration(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Radius of gyration per entity — THE classic human-mobility
+    dispersion metric (Gonzalez et al., Nature 2008):
+
+        rg = sqrt( mean over fixes of dist_km(fix, centroid)^2 )
+
+    with the centroid as the arithmetic lat/lon mean (the staypoints
+    module's documented planar-centroid form — distorts only for
+    activity spaces hugging the antimeridian) and the great-circle
+    law-of-cosines distance (the reference constant). NULL-coordinate
+    fixes are dropped.
+
+    Output: (entity, n_fixes, center_lat, center_lon, rg_km).
+
+    100-TB posture: one map-side-combinable groupBy to the centroid,
+    one equi-join back on the entity key, one more groupBy — no
+    windows, no quadratics; a hot entity costs its own rows twice.
+    """
+    la, lo = F.col(lat_col), F.col(lon_col)
+    pts = points.where(la.isNotNull() & lo.isNotNull()).select(
+        F.col(entity_col).alias("_ent"),
+        la.alias("_lat"),
+        lo.alias("_lon"),
+    )
+    cent = pts.groupBy("_ent").agg(
+        F.avg("_lat").alias("center_lat"),
+        F.avg("_lon").alias("center_lon"),
+    )
+    d = exprs.dist_km(
+        F.col("_lat"), F.col("_lon"),
+        F.col("center_lat"), F.col("center_lon"),
+    )
+    return (
+        pts.join(cent, "_ent")
+        .groupBy(F.col("_ent").alias(entity_col),
+                 "center_lat", "center_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.sqrt(F.avg(d * d)).alias("rg_km"),
+        )
+        .select(entity_col, "n_fixes", "center_lat", "center_lon", "rg_km")
+    )
+
+
+def location_entropy(
+    points: DataFrame,
+    half_bits: int,
+    entity_col: str = "user_id",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Shannon entropy of each entity's visited-cell distribution — the
+    standard mobility predictability metric (Song et al., Science 2010
+    family): with p_c = the fraction of the entity's fixes in grid cell
+    c, entropy = -sum_c p_c * ln(p_c) (natural log; 0 for an entity that
+    never leaves one cell, ln(k) for k uniformly visited cells).
+
+    Output: (entity, n_fixes, n_cells, entropy).
+
+    100-TB posture: one groupBy to the per-(entity, cell) histogram,
+    one groupBy to the entity rollup — the entropy sum folds p*ln(p)
+    map-side; no joins, no windows.
+    """
+    from .join import with_grid_cell
+
+    la, lo = F.col(lat_col), F.col(lon_col)
+    pts = points.where(la.isNotNull() & lo.isNotNull()).select(
+        F.col(entity_col).alias("_ent"),
+        la.alias("latitude"),
+        lo.alias("longitude"),
+    )
+    hist = (
+        with_grid_cell(pts, half_bits, out="_cell")
+        .groupBy("_ent", "_cell")
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    # p*ln(p) per cell needs the entity total: one window-free route is
+    # a second groupBy after attaching totals — but sum(k*ln(k)) and
+    # total decompose: H = ln(n) - sum(k*ln(k))/n  (exact algebra, and
+    # both terms fold map-side without a join)
+    kd = F.col("_k").cast("double")
+    ent = hist.groupBy(F.col("_ent").alias(entity_col)).agg(
+        F.sum("_k").alias("n_fixes"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(kd * F.log(kd)).alias("_klnk"),
+    )
+    nd = F.col("n_fixes").cast("double")
+    return ent.select(
+        entity_col, "n_fixes", "n_cells",
+        (F.log(nd) - F.col("_klnk") / nd).alias("entropy"),
+    )
+
+
 def positions_at(
     points: DataFrame,
     at_ts,

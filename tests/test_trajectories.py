@@ -753,3 +753,61 @@ def test_positions_at_interpolation(spark):
              for r in positions_at(_points(spark, rows), at,
                                    max_gap_s=250.0).collect()}
     assert loose == {1, 2, 5}
+
+
+def test_radius_of_gyration_matches_brute(spark):
+    from geoengine.trajectories import radius_of_gyration
+
+    rng = np.random.default_rng(13)
+    rows = []
+    i = 0
+    for ent, (bla, blo, spread) in enumerate(
+            [(10.0, 20.0, 0.5), (-40.0, 100.0, 5.0), (60.0, -120.0, 0.0)]):
+        for _ in range(30):
+            rows.append((i, ent, float(i), bla + rng.uniform(-spread, spread),
+                         blo + rng.uniform(-spread, spread)))
+            i += 1
+    got = {r["user_id"]: r
+           for r in radius_of_gyration(_points(spark, rows)).collect()}
+    by_ent: dict = {}
+    for _, e, _, la, lo in rows:
+        by_ent.setdefault(e, []).append((la, lo))
+    for e, fixes in by_ent.items():
+        clat = float(np.mean([a for a, _ in fixes]))
+        clon = float(np.mean([b for _, b in fixes]))
+        rg = float(np.sqrt(np.mean(
+            [_dist_km(a, b, clat, clon) ** 2 for a, b in fixes])))
+        r = got[e]
+        assert r["n_fixes"] == 30
+        assert r["center_lat"] == pytest.approx(clat, abs=1e-12)
+        assert r["rg_km"] == pytest.approx(rg, rel=1e-6)
+    # zero-spread entity: every fix identical -> rg at the acos noise
+    # floor (~1e-4 km), far below any real dispersion
+    assert got[2]["rg_km"] < 0.001
+    assert got[1]["rg_km"] > got[0]["rg_km"] > 1.0
+
+
+def test_location_entropy_matches_brute(spark):
+    import math
+
+    from geoengine.trajectories import location_entropy
+
+    hb, n = 4, 16
+    rows = [
+        # entity 1: all fixes in ONE cell -> entropy 0
+        *[(i, 1, float(i), 10.0 + i * 0.01, 10.0) for i in range(5)],
+        # entity 2: 4 fixes uniformly over 4 distinct far cells -> ln(4)
+        (10, 2, 0.0, 0.0, 0.0), (11, 2, 1.0, 0.0, 60.0),
+        (12, 2, 2.0, 0.0, 120.0), (13, 2, 3.0, 40.0, 0.0),
+        # entity 3: skewed 3-1 over two cells
+        (20, 3, 0.0, -30.0, -30.0), (21, 3, 1.0, -30.0, -30.0),
+        (22, 3, 2.0, -30.0, -30.0), (23, 3, 3.0, -30.0, -120.0),
+    ]
+    got = {r["user_id"]: r
+           for r in location_entropy(_points(spark, rows), hb).collect()}
+    assert got[1]["entropy"] == pytest.approx(0.0, abs=1e-12)
+    assert got[1]["n_cells"] == 1
+    assert got[2]["entropy"] == pytest.approx(math.log(4.0), rel=1e-12)
+    want3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[3]["entropy"] == pytest.approx(want3, rel=1e-12)
+    assert got[3]["n_fixes"] == 4 and got[3]["n_cells"] == 2
