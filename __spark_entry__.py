@@ -1733,6 +1733,26 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENTROPY_HB = 4
+RIPLEY_RADII = (200.0, 500.0, 1000.0)
+RIPLEY_AREA_KM2 = 4.0 * 3.141592653589793 * 6371.0 * 6371.0  # whole sphere
+
+
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / Besag L point-pattern statistic over the customer
+    points at three radii (index.ripleys_k): one certified radius
+    self-join at max(r), map-side bucket folds, exact-integer pair
+    counts — so K and L are cross-engine exact (single division chain,
+    no float sums). Oracle = brute i<j pair join with the identical
+    CASE buckets and arithmetic."""
+    from geoengine.index import ripleys_k
+
+    pts = datasets.customer_points(spark, sf_dir)
+    out = ripleys_k(pts, list(RIPLEY_RADII), RIPLEY_AREA_KM2)
+    return out.select(
+        "r_km", "n_points", "n_pairs",
+        F.round("k_km2", 6).alias("k_km2"),
+        F.round("l_km", 6).alias("l_km"),
+    )
 
 
 def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2100,8 +2120,9 @@ def _sql_kde_cells() -> str:
 # Moran, emerging hot spots; zonal stats + polygon metrics; the
 # mobility visit layer — staypoints/trips/streaming_staypoints;
 # streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 41 queries each driver-green in
-# >=2 rounds (r02-r04 or more) park at 51+. tools/check_oracle.py
+# radius_per_row with per-row units); 42 queries park at 51+ (each
+# driver-green in >=2 rounds, plus avg_dist — a trivial aggregate
+# ceding its refreshed slot to the statistics wave). tools/check_oracle.py
 # still covers ALL entries every round (full sweeps green at both gate
 # scales this session; every new query tri-scale-certified).
 # ---------------------------------------------------------------------------
@@ -2118,6 +2139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "position_snapshot": q_position_snapshot,
     "radius_gyration": q_radius_gyration,
     "location_entropy": q_location_entropy,
+    "ripleys_k": q_ripleys_k,
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
@@ -2142,7 +2164,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_join": q_nation_join,
     "bbox": q_bbox,
     "record_count": q_record_count,
-    "avg_dist": q_avg_dist,
     "median_dist": q_median_dist,
     "distance_udf": q_distance_udf,
     "distance_mi_udf": q_distance_mi_udf,
@@ -2173,6 +2194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn": q_knn,
     "radius_pairs": q_radius_pairs,
     "images_phash": q_images_phash,
+    "avg_dist": q_avg_dist,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -2523,6 +2545,41 @@ def _sql_polygon_metrics() -> str:
                round(abs(total) * {_D(6371.0 * 6371.0 / 2.0)}, 3)
                    AS area_km2
         FROM m JOIN nv ON m.pid = nv.pid
+    """
+
+
+def _sql_ripleys_k() -> str:
+    """Brute all-pairs (i<j) distance buckets + the identical K/L
+    arithmetic ripleys_k performs (exact-integer inputs, one division
+    chain — cross-engine exact)."""
+    d = exprs.sql_dist_km("a.lat", "a.lon", "b.lat", "b.lon")
+    buckets = ", ".join(
+        f"CAST(sum(CASE WHEN d <= {_D(r)} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, r in enumerate(RIPLEY_RADII)
+    )
+    a = _D(RIPLEY_AREA_KM2)
+    rows = " UNION ALL ".join(
+        f"""SELECT {_D(r)} AS r_km, n.np AS n_points, cnt.c{i} AS n_pairs,
+               round(CASE WHEN n.np >= 2 THEN
+                   {a} * (2.0e0 * CAST(cnt.c{i} AS DOUBLE))
+                   / (CAST(n.np AS DOUBLE)
+                      * (CAST(n.np AS DOUBLE) - 1.0e0)) END, 6) AS k_km2,
+               round(CASE WHEN n.np >= 2 THEN
+                   sqrt({a} * (2.0e0 * CAST(cnt.c{i} AS DOUBLE))
+                        / (CAST(n.np AS DOUBLE)
+                           * (CAST(n.np AS DOUBLE) - 1.0e0))
+                        / {_D(3.141592653589793)}) END, 6) AS l_km
+        FROM cnt CROSS JOIN n"""
+        for i, r in enumerate(RIPLEY_RADII)
+    )
+    return f"""
+        WITH c AS (SELECT c_custkey AS id, {_C_LAT} AS lat, {_C_LON} AS lon
+                   FROM customer),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM c),
+        pr AS (SELECT {d} AS d FROM c a JOIN c b ON a.id < b.id),
+        cnt AS (SELECT {buckets} FROM pr)
+        {rows}
     """
 
 
@@ -3189,6 +3246,9 @@ def oracle_sql() -> dict[str, str]:
                 JOIN st ON c.bin = st.bin
             )
         """,
+        # Ripley's K / L: brute i<j pair join, identical CASE buckets
+        # and the exact-integer K/L division chain
+        "ripleys_k": _sql_ripleys_k(),
         # Radius of gyration: identical two-pass aggregate (centroid ->
         # join -> sqrt(avg(d^2)))
         "radius_gyration": f"""

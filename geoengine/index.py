@@ -602,6 +602,93 @@ def global_moran_i(
     )
 
 
+def ripleys_k(
+    points: DataFrame,
+    radii: list[float],
+    area_km2: float,
+    id_col: str = "id",
+    lat: str = "latitude",
+    lon: str = "longitude",
+    half_bits: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (and its variance-stabilized
+    Besag L transform) at the given radii — the classic global test of
+    clustering vs dispersion vs CSR:
+
+        K(r) = A * 2 * pairs(r) / (n * (n - 1))     (unbiased form)
+        L(r) = sqrt(K(r) / pi)      (CSR reference: L(r) ~ r)
+
+    ``pairs(r)`` counts unordered point pairs within great-circle
+    distance r (<= boundary, the engine rule); ``area_km2`` is the
+    caller's study area (no edge correction — the uncorrected/naive
+    estimator, biased low near study-area borders; document your frame).
+
+    Output: one row per radius — (r_km, n_points, n_pairs, k_km2,
+    l_km), NULL k/l when n < 2. All inputs to K are exact integers, so
+    the statistic is cross-engine exact (one division chain, no float
+    sums).
+
+    100-TB posture: ONE certified radius self-join at max(radii) (the
+    cell-keyed equi-join — never all-pairs), one scalar aggregate
+    folding every radius bucket map-side, one broadcast of the 1-row
+    count frame. Pair count scales with density * area, not n^2,
+    provided max(radii) stays local.
+    """
+    if not radii:
+        raise ValueError("radii must be a non-empty list")
+    rads = sorted(float(r) for r in radii)
+    if rads[0] <= 0:
+        raise ValueError(f"radii must be > 0, got {radii!r}")
+    from .join import radius_join_pairs, validate_points
+
+    pts = validate_points(points, lat, lon).select(
+        id_col, lat, lon
+    )
+    pairs = radius_join_pairs(
+        pts, pts, rads[-1], unit="km", half_bits=half_bits,
+        strategy=strategy,
+    ).where(F.col("origin_id") < F.col("neighbor_id"))
+    d = F.col("distance_km")
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(d <= r, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias(f"_c{i}")
+            for i, r in enumerate(rads)
+        ]
+    )
+    stats = pts.agg(F.count(F.lit(1)).alias("_n"))
+    row = counts.crossJoin(F.broadcast(stats))
+    per_radius = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r_km"),
+                        F.col("_n").alias("n_points"),
+                        F.col(f"_c{i}").cast("long").alias("n_pairs"),
+                    )
+                    for i, r in enumerate(rads)
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.r_km", "_e.n_points", "_e.n_pairs")
+    nd = F.col("n_points").cast("double")
+    k = (
+        F.lit(float(area_km2))
+        * (F.lit(2.0) * F.col("n_pairs").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+    )
+    pi = 3.141592653589793
+    return per_radius.select(
+        "r_km", "n_points", "n_pairs",
+        F.when(F.col("n_points") >= 2, k).alias("k_km2"),
+        F.when(F.col("n_points") >= 2, F.sqrt(k / F.lit(pi))).alias("l_km"),
+    )
+
+
 def gi_star_slices(
     points: DataFrame,
     half_bits: int,

@@ -388,3 +388,54 @@ class TestEmergingHotspots:
         for r in got:
             assert r["n_bins"] == 1 and r["s"] == 0, r
             assert r["z_mk"] is None and r["trend"] is None, r
+
+
+class TestRipleysK:
+    def test_matches_brute(self, spark):
+        import math
+
+        from geoengine.geodesy import dist_law_of_cosines_km
+        from geoengine.index import ripleys_k
+
+        rng = np.random.default_rng(7)
+        pts = [(i, float(rng.uniform(-30, 30)), float(rng.uniform(-40, 40)))
+               for i in range(120)]
+        # add a tight cluster to push K above CSR at small radii
+        pts += [(200 + i, 5.0 + float(rng.uniform(0, 0.5)),
+                 5.0 + float(rng.uniform(0, 0.5))) for i in range(30)]
+        df = spark.createDataFrame(
+            pts, "id long, latitude double, longitude double")
+        radii = [50.0, 300.0, 1500.0]
+        area = 4.0 * math.pi * 6371.0 ** 2
+        got = {r["r_km"]: r for r in ripleys_k(df, radii, area).collect()}
+        n = len(pts)
+        for r in radii:
+            c = sum(
+                1
+                for i in range(n) for j in range(i + 1, n)
+                if dist_law_of_cosines_km(
+                    pts[i][1], pts[i][2], pts[j][1], pts[j][2]) <= r
+            )
+            g = got[r]
+            assert g["n_points"] == n and g["n_pairs"] == c, r
+            k = area * 2.0 * c / (n * (n - 1.0))
+            assert g["k_km2"] == pytest.approx(k, rel=1e-12)
+            assert g["l_km"] == pytest.approx(math.sqrt(k / math.pi),
+                                              rel=1e-12)
+        # the tight cluster inflates small-radius K far above CSR
+        # (CSR reference: L(r) ~ r on a uniform process)
+        assert got[50.0]["l_km"] > 50.0
+
+    def test_degenerate_and_validation(self, spark):
+        from geoengine.index import ripleys_k
+
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "id long, latitude double, longitude double")
+        row = ripleys_k(df, [100.0], 1.0e6).collect()
+        assert len(row) == 1
+        assert row[0]["n_points"] == 1 and row[0]["n_pairs"] == 0
+        assert row[0]["k_km2"] is None and row[0]["l_km"] is None
+        with pytest.raises(ValueError, match="radii"):
+            ripleys_k(df, [], 1.0e6)
+        with pytest.raises(ValueError, match="radii"):
+            ripleys_k(df, [-5.0], 1.0e6)
