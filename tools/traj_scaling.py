@@ -53,12 +53,18 @@ KDE_BW_KM, KDE_HB = 100.0, 7
 N_POINTS_EMERGE, EMERGE_BINS, EMERGE_HB = 20_000_000, 10, 7
 JOBS = ("trajectory_stats", "geofence_visits", "co_location",
         "spatial_dbscan", "idw_interpolate", "kde_cells",
-        "emerging_hotspots", "staypoints")
+        "emerging_hotspots", "staypoints", "radius_gyration",
+        "location_entropy", "ripleys_k")
 # staypoints: same 20M-fix fixture as trajectory_stats (the operator is
 # the same one-window + reusing-groupBy shape); the key-arithmetic
 # coordinates make successive fixes near-random global hops, so a
 # continental move threshold forms multi-fix runs (~15% continue rate)
 STAY_MOVE_KM_BENCH, STAY_MIN_S_BENCH = 4000.0, 0.0
+# mobility metrics reuse the 20M-fix fixture (centroid-join and
+# two-agg shapes); ripley runs the radius SELF-join on 1M uniform
+# points (degree ~60 at 100 km -> ~30M pairs)
+N_POINTS_RIPLEY = 1_000_000
+RIPLEY_RADII_BENCH = (50.0, 100.0)
 
 
 def fixes(spark, n: int, parallelism: int):
@@ -101,9 +107,12 @@ def blob_points(spark, n: int, parallelism: int):
 
 def bench_level(cores: int, reps: int) -> dict[str, float]:
     from geoengine.fixtures import polygons_table
+    from geoengine.index import ripleys_k
     from geoengine.trajectories import (
         co_location_pairs,
         geofence_visits,
+        location_entropy,
+        radius_of_gyration,
         staypoints,
         trajectory_stats,
     )
@@ -160,6 +169,14 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
                       F.lit(EMERGE_BINS))
     )
 
+    rip_src = spark.range(0, N_POINTS_RIPLEY, 1, 64).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(31)), 1000003)
+         / 1000003.0 * 170.0 - 85.0).alias("latitude"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(32)), 1000003)
+         / 1000003.0 * 356.0 - 178.0).alias("longitude"),
+    )
+
     def run_emerging():
         # scoped cache: the gi_z slice frame feeds three consumers
         reg = []
@@ -178,6 +195,11 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
         "emerging_hotspots": run_emerging,
         "staypoints": lambda: staypoints(
             st_src, STAY_MOVE_KM_BENCH, STAY_MIN_S_BENCH),
+        "radius_gyration": lambda: radius_of_gyration(st_src),
+        "location_entropy": lambda: location_entropy(st_src, 7),
+        "ripleys_k": lambda: ripleys_k(
+            rip_src, list(RIPLEY_RADII_BENCH),
+            4.0 * 3.141592653589793 * 6371.0 * 6371.0),
     }
     jobs = {k: v for k, v in jobs.items() if k in JOBS}
 
@@ -200,6 +222,7 @@ def bench_level(cores: int, reps: int) -> dict[str, float]:
 
 
 def main() -> None:
+    global N_FIXES_FENCE, N_POINTS_DBSCAN, N_POINTS_EMERGE, JOBS
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--levels", default="2,8,32")
@@ -219,7 +242,6 @@ def main() -> None:
                          "dominates; bigger de-exposes job overhead)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
-    global N_FIXES_FENCE, N_POINTS_DBSCAN, N_POINTS_EMERGE, JOBS
     if args.fence_fixes:
         N_FIXES_FENCE = args.fence_fixes
     if args.dbscan_points:
