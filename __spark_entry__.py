@@ -1737,6 +1737,26 @@ RIPLEY_RADII = (200.0, 500.0, 1000.0)
 RIPLEY_AREA_KM2 = 4.0 * 3.141592653589793 * 6371.0 * 6371.0  # whole sphere
 
 
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans nearest-neighbor index over the customer points
+    (index.clark_evans — ripleys_k's companion test): self kNN at k=2,
+    drop the self pair, min per origin, one scalar reduce. The oracle
+    computes each point's true NN by brute i<>j min and the identical
+    R arithmetic; mean_nn at 3dp (mean of ~15k acos distances at sf0.1
+    — the big-set reassociation rule), the exact-chain expected/R at
+    6dp."""
+    from geoengine.index import clark_evans
+
+    pts = datasets.customer_points(spark, sf_dir)
+    out = clark_evans(pts, RIPLEY_AREA_KM2)
+    return out.select(
+        "n_points",
+        F.round("mean_nn_km", 3).alias("mean_nn_km"),
+        F.round("expected_nn_km", 6).alias("expected_nn_km"),
+        F.round("clark_evans_r", 6).alias("clark_evans_r"),
+    )
+
+
 def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ripley's K / Besag L point-pattern statistic over the customer
     points at three radii (index.ripleys_k): one certified radius
@@ -2120,9 +2140,9 @@ def _sql_kde_cells() -> str:
 # Moran, emerging hot spots; zonal stats + polygon metrics; the
 # mobility visit layer — staypoints/trips/streaming_staypoints;
 # streaming geofence; the image/embedding dedup compositions;
-# radius_per_row with per-row units); 42 queries park at 51+ (each
-# driver-green in >=2 rounds, plus avg_dist — a trivial aggregate
-# ceding its refreshed slot to the statistics wave). tools/check_oracle.py
+# radius_per_row with per-row units); 43 queries park at 51+ (each
+# driver-green in >=2 rounds, plus avg_dist/median_dist — trivial
+# aggregates ceding their refreshed slots to the statistics wave). tools/check_oracle.py
 # still covers ALL entries every round (full sweeps green at both gate
 # scales this session; every new query tri-scale-certified).
 # ---------------------------------------------------------------------------
@@ -2140,6 +2160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_gyration": q_radius_gyration,
     "location_entropy": q_location_entropy,
     "ripleys_k": q_ripleys_k,
+    "clark_evans": q_clark_evans,
     "staypoints": q_staypoints,
     "trips": q_trips,
     "polygon_metrics": q_polygon_metrics,
@@ -2164,7 +2185,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_join": q_nation_join,
     "bbox": q_bbox,
     "record_count": q_record_count,
-    "median_dist": q_median_dist,
     "distance_udf": q_distance_udf,
     "distance_mi_udf": q_distance_mi_udf,
     "cell_encode": q_cell_encode,
@@ -2195,6 +2215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radius_pairs": q_radius_pairs,
     "images_phash": q_images_phash,
     "avg_dist": q_avg_dist,
+    "median_dist": q_median_dist,
     "nosql_view": q_nosql_view,
     "json_props": q_json_props,
     "stratified_sample": q_stratified_sample,
@@ -3249,6 +3270,28 @@ def oracle_sql() -> dict[str, str]:
         # Ripley's K / L: brute i<j pair join, identical CASE buckets
         # and the exact-integer K/L division chain
         "ripleys_k": _sql_ripleys_k(),
+        # Clark-Evans: brute per-point true-NN min + identical R chain
+        "clark_evans": f"""
+            WITH c AS (SELECT c_custkey AS id, {_C_LAT} AS lat,
+                              {_C_LON} AS lon FROM customer),
+            nn AS (SELECT a.id,
+                          min({exprs.sql_dist_km('a.lat', 'a.lon',
+                                                 'b.lat', 'b.lon')}) AS d
+                   FROM c a JOIN c b ON a.id <> b.id GROUP BY a.id),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                         avg(d) AS mean_nn
+                  FROM nn)
+            SELECT n_points,
+                   round(mean_nn, 3) AS mean_nn_km,
+                   round(0.5e0 / sqrt(CAST(n_points AS DOUBLE)
+                                      / {_D(RIPLEY_AREA_KM2)}), 6)
+                       AS expected_nn_km,
+                   round(mean_nn / (0.5e0
+                         / sqrt(CAST(n_points AS DOUBLE)
+                                / {_D(RIPLEY_AREA_KM2)})), 6)
+                       AS clark_evans_r
+            FROM g
+        """,
         # Radius of gyration: identical two-pass aggregate (centroid ->
         # join -> sqrt(avg(d^2)))
         "radius_gyration": f"""

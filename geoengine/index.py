@@ -689,6 +689,58 @@ def ripleys_k(
     )
 
 
+def clark_evans(
+    points: DataFrame,
+    area_km2: float,
+    id_col: str = "id",
+    lat: str = "latitude",
+    lon: str = "longitude",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index — the companion point-pattern
+    test to :func:`ripleys_k` (Clark & Evans 1954):
+
+        R = mean(nearest-neighbor distance)
+            / (0.5 / sqrt(n / A))        (expected NN distance under CSR)
+
+    R < 1 clustered, R ~ 1 random, R -> ~2.15 maximally dispersed. Same
+    uncorrected/naive posture as ripleys_k (no edge correction;
+    ``area_km2`` is the caller's study frame, documented).
+
+    Output: exactly ONE row (n_points, mean_nn_km, expected_nn_km,
+    clark_evans_r) — NULLs when n < 2 (no neighbor exists).
+
+    100-TB posture: the kNN machinery's cost model applies unchanged —
+    a self kNN at k=2 (auto: broadcast-brute when the table fits the
+    plan-stats gate, exact ring expansion otherwise), drop the self
+    pair, one min per origin + one scalar reduce.
+    """
+    from .knn import knn_join
+
+    pts = validate_points(points, lat, lon).select(id_col, lat, lon)
+    nn = (
+        knn_join(pts, pts, 2, strategy=strategy)
+        .where(F.col("origin_id") != F.col("neighbor_id"))
+        .groupBy("origin_id")
+        .agg(F.min("distance_km").alias("_d"))
+    )
+    g = nn.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg("_d").alias("mean_nn_km"),
+    )
+    nd = F.col("n_points").cast("double")
+    expected = F.lit(0.5) / F.sqrt(nd / F.lit(float(area_km2)))
+    return g.select(
+        "n_points",
+        F.when(F.col("n_points") >= 1, F.col("mean_nn_km"))
+        .alias("mean_nn_km"),
+        F.when(F.col("n_points") >= 1, expected).alias("expected_nn_km"),
+        F.when(
+            F.col("n_points") >= 1, F.col("mean_nn_km") / expected
+        ).alias("clark_evans_r"),
+    )
+
+
 def gi_star_slices(
     points: DataFrame,
     half_bits: int,

@@ -439,3 +439,47 @@ class TestRipleysK:
             ripleys_k(df, [], 1.0e6)
         with pytest.raises(ValueError, match="radii"):
             ripleys_k(df, [-5.0], 1.0e6)
+
+
+class TestClarkEvans:
+    def test_matches_brute(self, spark):
+        import math
+
+        from geoengine.geodesy import dist_law_of_cosines_km
+        from geoengine.index import clark_evans
+
+        rng = np.random.default_rng(8)
+        pts = [(i, float(rng.uniform(-40, 40)), float(rng.uniform(-60, 60)))
+               for i in range(80)]
+        df = spark.createDataFrame(
+            pts, "id long, latitude double, longitude double")
+        area = 4.0 * math.pi * 6371.0 ** 2
+        r = clark_evans(df, area).collect()[0]
+        n = len(pts)
+        nn = [
+            min(dist_law_of_cosines_km(la, lo, lb, ob)
+                for j, lb, ob in pts if j != i)
+            for i, la, lo in pts
+        ]
+        mean_nn = sum(nn) / n
+        expected = 0.5 / math.sqrt(n / area)
+        assert r["n_points"] == n
+        assert r["mean_nn_km"] == pytest.approx(mean_nn, rel=1e-9)
+        assert r["expected_nn_km"] == pytest.approx(expected, rel=1e-12)
+        assert r["clark_evans_r"] == pytest.approx(mean_nn / expected,
+                                                   rel=1e-9)
+        # a duplicated point makes its NN distance ~0 and drags R down
+        df2 = spark.createDataFrame(
+            pts + [(900, pts[0][1], pts[0][2])],
+            "id long, latitude double, longitude double")
+        r2 = clark_evans(df2, area).collect()[0]
+        assert r2["clark_evans_r"] < r["clark_evans_r"]
+
+    def test_single_point_nulls(self, spark):
+        from geoengine.index import clark_evans
+
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "id long, latitude double, longitude double")
+        r = clark_evans(df, 1.0e6).collect()[0]
+        assert r["n_points"] == 0  # no point has a neighbor
+        assert r["mean_nn_km"] is None and r["clark_evans_r"] is None
