@@ -33,6 +33,7 @@ Scale posture (100 TB / 1000 executors):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +43,37 @@ from .geodesy import EARTH_RADIUS_KM, to_km
 
 MAX_HALF_BITS = 26
 MIN_HALF_BITS = 2
+
+
+def spread_small_input(df: DataFrame, *key_cols: Column) -> DataFrame:
+    """Raise a narrow-parallelism input to the session's default
+    parallelism by ONE deterministic hash repartition on ``key_cols``
+    (guide §2.2/§6): a single-row-group parquet file (or any few-partition
+    source) otherwise serializes every downstream map-side stage — the
+    covering-cell explode, the codegen'd distance refinement, Arrow UDF
+    kernels — on one core, because a broadcast join keeps the whole
+    pipeline in the scan's stage.  The exchange moves only the slim
+    PRE-fanout rows (the §8 "decide with small rows" shape), so its cost
+    is bytes-trivial next to the serial compute it unlocks.
+
+    Scale posture: a no-op whenever the input already has >= the
+    session's defaultParallelism partitions (the 100-TB case — many-filed
+    sources never trigger it), for streaming inputs (no static partition
+    count), and when the partition count cannot be read.  The hash keys
+    are data columns, never rand() (deterministic under task retry,
+    SPARK-38388).  ``SPARK_GRAFT_SPREAD=0`` disables it globally."""
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    try:
+        if df.isStreaming:
+            return df
+        target = df.sparkSession.sparkContext.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan surfaces without an RDD
+        return df
+    if nparts >= target:
+        return df
+    return df.repartition(target, *key_cols)
 
 
 def pick_half_bits(radius_km: float) -> int:
@@ -264,6 +296,17 @@ def _radius_join_core(
     nb = neighbors.select(
         [F.col(c).alias(neighbor_prefix + c) for c in neighbors.columns]
     )
+
+    # spread a narrow scan across the cluster BEFORE the fanout; hashing on
+    # the origin id (unique by contract) also lets a downstream
+    # top-k window / assembly groupBy on origin_id reuse the partitioning
+    spread_keys = (
+        [F.col(origin_prefix + "id")]
+        if (origin_prefix + "id") in o.columns
+        else [F.col(origin_prefix + "latitude"),
+              F.col(origin_prefix + "longitude")]
+    )
+    o = spread_small_input(o, *spread_keys)
 
     r_km = r_km_of()
     probe = explode_covering_cells(

@@ -68,7 +68,13 @@ def knn_join_brute(origins: DataFrame, neighbors: DataFrame, k) -> DataFrame:
     column as it appears after origin prefixing (an origins column ``k``
     becomes ``origin_k`` here) — the SearchInquery per-row maxResults
     model on the kNN surface."""
+    from .join import spread_small_input
+
     o = _prefixed(validate_points(origins), "origin_")
+    # narrow-scan origins otherwise run the whole crossJoin+distance+window
+    # pipeline single-task (guide §2.2); hash on origin_id also lets the
+    # top-k window reuse the partitioning
+    o = spread_small_input(o, F.col("origin_id"))
     nb = _prefixed(validate_points(neighbors), "neighbor_")
     return _ranked(_pairs_dist(o, F.broadcast(nb), "cross"), k)
 
@@ -163,7 +169,13 @@ def knn_join_rings(
             cache_registry.append(df)
         return df
 
+    from .join import spread_small_input
+
     o_all = _prefixed(validate_points(origins), "origin_")
+    # spread a narrow origin scan before the per-round shell explode+join
+    # (guide §2.2); hash on origin_id so every round's top-k window and
+    # per-origin aggregations reuse the partitioning
+    o_all = spread_small_input(o_all, F.col("origin_id"))
     nb = _prefixed(validate_points(neighbors), "neighbor_")
 
     if neighbor_count is None:

@@ -45,13 +45,23 @@ def cosine_topk_brute(
 ) -> DataFrame:
     """Exact top-k by cosine: crossJoin(broadcast(corpus)) + window.
     (query_id, neighbor_id, cosine, sim_rank); self-pairs excluded."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    from .join import spread_small_input
+
+    # norms hoisted to once-per-ROW before the cross join (they were an
+    # interpreted HOF fold re-run per PAIR — n_q x n_c times); the cosine
+    # is the identical expression on identical values, so results are
+    # bit-equal: norm(v) evaluated upstream is the same double, and
+    # dot / (qn * cn) is the same op sequence
+    q = spread_small_input(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        F.col("query_id"),
+    ).withColumn("_qn", _norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    sim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    ).withColumn("_cn", _norm("cv"))
+    sim = _dot("qv", "cv") / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -303,6 +313,11 @@ def build_ivf_index(
         centroids = refine_centroids_lloyd(corpus, centroids, vec_col,
                                            refine_iters)
     assignA = make_centroid_assign_udf(centroids, n_assign)
+    # NOT spread (unlike the join/kNN probe sides): the assignment kernel
+    # is a bounded fanout-free matmul over the scan, and the first consumer
+    # exchange re-parallelizes everything downstream — an extra exchange
+    # here costs a full AQE stage per build and buys nothing (measured
+    # +~1.7 s per bench rep across the ivf phases at sf0.1)
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cell", F.explode(assignA(F.col("cv"))))
@@ -323,13 +338,25 @@ def cosine_topk_ivf_prebuilt(
     re-read persisted copy). Set ``dedup=False`` only when the index was
     built with n_assign=1 (no pair can collide twice)."""
     assignP = make_centroid_assign_udf(centroids, n_probe)
+    # norms hoisted to once-per-row (query side pre-explode, index side
+    # pre-join) — they were interpreted HOF folds re-run per candidate
+    # PAIR; bit-identical results (same expression, same values, then the
+    # same dot / (qn * cn) op sequence)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(assignP(F.col("qv"))))
-    sim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    ).withColumn("_qn", _norm("qv")).withColumn(
+        "cell", F.explode(assignP(F.col("qv")))
+    )
+    indexed = indexed.withColumn("_cn", _norm("cv"))
+    sim = _dot("qv", "cv") / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # dedup BEFORE scoring (NOT the §2.3 narrow-then-shuffle shape): the
+    # cosine is an interpreted higher-order-function fold over dim
+    # elements, so scoring pre-dedup pairs costs collision-factor x more
+    # CPU than the vector-carrying exchange saves (measured +1.1 s per
+    # bench rep at sf0.1 the other way around)
     pairs = q.join(indexed, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )

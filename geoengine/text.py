@@ -436,10 +436,17 @@ def minhash_near_dup_pairs(
     """MinHash + LSH banding: signature -> band buckets -> equi-join on
     (band, bucket) -> estimated-Jaccard filter. No cross join anywhere;
     the band join shuffles on a 64-bit bucket hash (scale path)."""
+    from .join import spread_small_input
+
     rows = num_hashes // bands
     sig = make_minhash_udf(num_hashes, shingle_k)
     with_sig = (
-        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+        # spread a narrow scan first: the shingling/MinHash Arrow kernel
+        # otherwise runs single-task on a one-row-group file (guide §2.2)
+        spread_small_input(
+            docs.select(F.col(id_col).alias("doc"), F.col(text_col)),
+            F.col("doc"),
+        )
         .withColumn("sig", sig(F.col(text_col)))
         .drop(text_col)
         .cache()  # self-joined below: compute the signature UDF once
@@ -453,7 +460,16 @@ def minhash_near_dup_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    est = F.expr(
+        "aggregate(zip_with(sig1, sig2, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    # estimate + threshold BEFORE the dedup exchange: duplicates of a pair
+    # carry identical signatures (identical estimate), so filter-then-dedup
+    # == dedup-then-filter — but doing it first shrinks the shuffle to the
+    # surviving pairs and to 3 narrow columns instead of two 64-long
+    # signatures per row (guide §2.3)
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -466,16 +482,10 @@ def minhash_near_dup_pairs(
             F.col("l.sig").alias("sig1"),
             F.col("r.sig").alias("sig2"),
         )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-    est = F.expr(
-        "aggregate(zip_with(sig1, sig2, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
-        "0, (acc, v) -> acc + v)"
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc1", "doc2", "est_jaccard")
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 
@@ -506,8 +516,11 @@ def hash_near_dup_pairs(
     same contract as knn_join_rings) to collect the cached slice for
     unpersisting once the pairs are materialized — in a long-lived session
     without it, one small block per call stays in storage memory."""
-    d = df.select(
-        F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64")
+    from .join import spread_small_input
+
+    d = spread_small_input(
+        df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("_h64")),
+        F.col("doc"),
     ).cache()
     if cache_registry is not None:
         cache_registry.append(d)
@@ -517,7 +530,11 @@ def hash_near_dup_pairs(
         block_split_expr(block_bits, "_h64").alias("bb"),
     ).select("doc", "_h64", "bb.blk", "bb.val")
     l, r = blocked.alias("l"), blocked.alias("r")
-    cand = (
+    # popcount + threshold BEFORE the dedup exchange (duplicates of a pair
+    # carry identical hashes, so the hamming filter commutes with the
+    # dedup): the shuffle then moves only the surviving (doc1, doc2,
+    # hamming) rows — guide §2.3
+    return (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
@@ -527,15 +544,12 @@ def hash_near_dup_pairs(
         .select(
             F.col("l.doc").alias("doc1"),
             F.col("r.doc").alias("doc2"),
-            F.col("l._h64").alias("h1"),
-            F.col("r._h64").alias("h2"),
+            F.bit_count(
+                F.col("l._h64").bitwiseXOR(F.col("r._h64"))
+            ).alias("hamming"),
         )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 
@@ -550,10 +564,12 @@ def simhash_near_dup_pairs(
     4 x 16-bit blocks; pairs within hamming<=k must share >=1 exact block
     (pigeonhole for k<=3 with 4 blocks; wider k accepted as recall-bounded)
     -> equi-join per block, exact popcount filter."""
+    from .join import spread_small_input
+
     sim = make_simhash_udf()
-    d = docs.select(F.col(id_col), F.col(text_col)).withColumn(
-        "simhash", sim(F.col(text_col))
-    ).drop(text_col)
+    d = spread_small_input(
+        docs.select(F.col(id_col), F.col(text_col)), F.col(id_col)
+    ).withColumn("simhash", sim(F.col(text_col))).drop(text_col)
     return hash_near_dup_pairs(
         d, "simhash", id_col=id_col,
         max_hamming=max_hamming, block_bits=block_bits,
