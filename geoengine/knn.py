@@ -22,6 +22,7 @@ brute when the neighbor side is small.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -201,11 +202,29 @@ def knn_join_rings(
     results = []
     acc: DataFrame | None = None  # pending origins' top-k-so-far candidates
     r, prev_r = 1, -1
+    pending_n: int | None = None  # known exactly from round 2 on
     for _ in range(max_rounds):
         if 2 * r + 1 > n:
             break  # shell would wrap the globe: no disjointness, fall back
-        if not pending.take(1):
-            break
+        if pending_n is None:
+            # round 1: cheap non-emptiness probe only (a count here would
+            # full-scan the origin table at scale)
+            if not pending.take(1):
+                break
+        else:
+            if pending_n == 0:
+                break
+            if pending_n * neighbor_count <= _FALLBACK_PAIRS_BUDGET:
+                # straggler set is small enough that the EXACT fallback
+                # cross join is a bounded, one-stage job: running it now
+                # is identical in results to more ring rounds (both are
+                # exact) but skips each remaining round's probe-join/
+                # window/anti-join chain (~0.5-1 s of sequential jobs per
+                # round; measured 2.3 s -> 1.3 s on the bench's 15k x 1k
+                # kNN). At scale neighbor_count alone exceeds the budget,
+                # so the ring loop runs in full — this only short-
+                # circuits the tail.
+                break
         dx = F.explode(F.sequence(F.lit(-r), F.lit(r)))
         dy = F.explode(F.sequence(F.lit(-r), F.lit(r)))
         probe = (
@@ -280,13 +299,17 @@ def knn_join_rings(
         results.append(done)
         done_ids = done.select("origin_id").distinct()
         pending = _cached(pending.join(done_ids, "origin_id", "left_anti"))
+        # exact straggler count for the next round's budget gate; the
+        # count fully materializes the pending cache, work the next
+        # round (or the final action) needs anyway
+        pending_n = pending.count()
         acc = ranked.drop("knn_rank").join(done_ids, "origin_id", "left_anti")
         prev_r, r = r, r * 2
 
     # exact fallback for origins no round could certify — NO broadcast hint:
     # the neighbor side may exceed broadcast capacity (that's why rings was
     # selected); AQE may still pick a broadcast when it turns out small.
-    if pending.take(1):
+    if pending_n if pending_n is not None else pending.take(1):
         rest = _ranked(
             _pairs_dist(pending.drop("_oix", "_oiy"), nb.drop("n_gkey"), "cross"),
             k,
@@ -322,6 +345,16 @@ def knn_join_rings_scoped(
 # stat-less leaves report spark.sql.defaultSizeInBytes (Long.MaxValue by
 # default) — any "size" past this is a placeholder, not a measurement
 _STATS_UNKNOWN_BYTES = 1 << 48
+
+# rings early-fallback budget: once |pending| * |neighbors| fits this many
+# candidate pairs, the EXACT cross-join fallback finishes the stragglers in
+# one bounded stage instead of paying further ring rounds' sequential-job
+# chains. 64M pairs ~ 2M trig evals/core on a 32-way stage — well under a
+# second; a large neighbor table alone exceeds it, so the scale path is
+# unaffected. Env-overridable for clusters with different core budgets.
+_FALLBACK_PAIRS_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_KNN_FALLBACK_PAIRS", str(64 << 20))
+)
 
 _BROADCAST_HARD_CAP = 64 << 20
 

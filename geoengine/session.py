@@ -32,18 +32,23 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
-        # fork a fresh python worker per task instead of reusing (default
-        # here, overridable via SPARK_GRAFT_WORKER_REUSE=1): at 32
-        # concurrent workers, reused workers left behind by a heavy Arrow
-        # stage (e.g. image mapInPandas) stall the NEXT pandas-UDF stage by
-        # >10x (measured 47s -> 2.9s on the minhash stage); fork from
-        # pyspark.daemon is ~ms, so per-task spawn is cheaper than the
-        # poisoning. On a real cluster with few cores per executor the
-        # default reuse=true is fine — this is a wide-local-mode profile.
+        # python worker reuse ON (Spark default; SPARK_GRAFT_WORKER_REUSE=0
+        # restores the round-4/5 per-task-fork profile). History: round 4
+        # measured reused workers poisoned by a heavy Arrow stage stalling
+        # the NEXT pandas-UDF stage >10x (47s -> 2.9s on minhash) and
+        # flipped this off. Re-measured round 6 on the current kernels
+        # (guide §1: measure first): the stall no longer reproduces — full
+        # bench A/B at sf0.1/local[32], reuse=false 9.09 s vs reuse=true
+        # 6.36 s headline, minhash steady at 0.81 s directly after the 60k-
+        # image mapInPandas stage across all reps — while per-task forks
+        # now COST ~0.3-1.1 s per Python-stage query (each forked worker
+        # re-imports numpy/pandas: images_phash 2.07 -> 0.94, embedding_ivf
+        # 3.12 -> 1.68, geofence_visits 1.66 -> 1.07). If a poisoning
+        # regression ever resurfaces, flip the env var and re-bench.
         .config(
             "spark.python.worker.reuse",
-            "true" if os.environ.get("SPARK_GRAFT_WORKER_REUSE") == "1"
-            else "false",
+            "false" if os.environ.get("SPARK_GRAFT_WORKER_REUSE") == "0"
+            else "true",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

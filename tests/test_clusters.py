@@ -79,6 +79,43 @@ def test_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+@pytest.mark.parametrize("seed", [11, 41])
+def test_local_fast_path_equals_star_loop(spark, seed, monkeypatch):
+    """Round-6 optimization guard: the bounded single-task min-label fast
+    path (CC_LOCAL_EDGES) and the distributed star loop must produce
+    IDENTICAL (node, cluster_id) sets on the same graph — chain + blobs +
+    random noise edges cover deep, wide and disconnected components."""
+    import geoengine.clusters as C
+
+    rng = random.Random(seed)
+    edges = [(i, i + 1) for i in range(40)]  # deep chain
+    edges += [(100, 100 + j) for j in range(1, 20)]  # star hub
+    edges += [(rng.randrange(300), rng.randrange(300)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _cc_spark(spark, edges)  # default threshold: fast path fires
+    monkeypatch.setattr(C, "CC_LOCAL_EDGES", 0)  # force the star loop
+    slow = _cc_spark(spark, edges)
+    assert fast == slow
+
+
+def test_local_cc_labels_kernel():
+    """The numpy min-label/pointer-jumping kernel against the pure-Python
+    union-find twin on an adversarial graph (long chain joined backwards
+    — maximizes pointer-jump depth)."""
+    import numpy as np
+
+    from geoengine.clusters import _local_cc_labels
+
+    edges = [(i + 1, i) for i in range(500)]  # reversed chain
+    edges += [(1000, 500), (1001, 1000)]
+    u = np.array([a for a, _ in edges], dtype=np.int64)
+    v = np.array([b for _, b in edges], dtype=np.int64)
+    ids, label = _local_cc_labels(u, v)
+    got = {int(ids[i]): int(ids[label[i]]) for i in range(len(ids))}
+    want_all = _union_find(1002, edges)
+    assert got == {x: want_all[x] for x in got}
+
+
 def test_dedup_clusters_keeper_and_singletons(spark):
     docs = spark.createDataFrame(
         [(i, float(i % 3)) for i in range(8)], "doc_id long, quality double"

@@ -35,6 +35,30 @@ def test_rings_equals_brute(spark):
     assert _key_set(rings) == _key_set(brute)
 
 
+def test_rings_early_fallback_gate_invariance(spark, monkeypatch):
+    """Round-6 optimization guard: the straggler budget gate
+    (_FALLBACK_PAIRS_BUDGET) only changes WHICH exact branch computes an
+    origin's top-k — results with the gate forced off (full ring rounds)
+    must equal results with it forced to fire immediately after round 1."""
+    import geoengine.knn as K
+
+    o = spark.createDataFrame(_points(21, 150))
+    nb = spark.createDataFrame(_points(22, 800))
+    k = 4
+
+    def keys(df):
+        return _key_set(
+            df.select("origin_id", "neighbor_id", "knn_rank").toPandas()
+        )
+
+    monkeypatch.setattr(K, "_FALLBACK_PAIRS_BUDGET", 0)  # never short-circuit
+    full_rings = keys(knn_join_rings(o, nb, k))
+    monkeypatch.setattr(K, "_FALLBACK_PAIRS_BUDGET", 1 << 60)  # always fire
+    early = keys(knn_join_rings(o, nb, k))
+    assert full_rings == early
+    assert full_rings == keys(knn_join_brute(o, nb, k))
+
+
 def _n_persistent_rdds(spark) -> int:
     return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
 
