@@ -507,18 +507,16 @@ def cosine_near_dup_exact(
     all-pairs (flat weight spectra) — correctness is unaffected either
     way; the warning points dense-flat inputs at cosine_near_dup_pairs."""
     buckets = near_dup_prefix_index(vectors, threshold, id_col, vec_col)
+    # CACHED: the self-join's two branches (and the dense guard's two
+    # aggregates) would otherwise EACH recompute the index's posexplode +
+    # cumulative-mass window. Same storage trade as the LSH builders'
+    # signature caches: one narrow (doc, d) block per call, LRU-evictable,
+    # released by spark.catalog.clearCache() in long-lived sessions.
+    buckets = buckets.cache()
     if dense_guard:
         import warnings
 
-        # cache only for the guard's two aggregates, then RELEASE — holding
-        # the block for the caller's eventual join would leak storage per
-        # call (no unpersist hook after their action); the join re-derives
-        # the index, which is exactly the no-guard cost
-        buckets = buckets.cache()
-        try:
-            n_docs, bound = dense_candidate_bound(buckets)
-        finally:
-            buckets.unpersist()
+        n_docs, bound = dense_candidate_bound(buckets)
         all_pairs = n_docs * (n_docs - 1) / 2
         if all_pairs > 0 and bound >= 0.5 * all_pairs:
             warnings.warn(
@@ -536,13 +534,21 @@ def cosine_near_dup_exact(
         .select(F.col("l.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
-    sim = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
-    vv = vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    # norms hoisted to once-per-ROW on the attach side — they were
+    # interpreted HOF folds re-run per candidate PAIR (3 folds x dim per
+    # pair -> 1 dot fold + a multiply); bit-identical cosine (the same
+    # norm expression on the same values, then the same op sequence)
+    sim = _dot("v1", "v2") / (F.col("_n1") * F.col("_n2"))
+    vv = vectors.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+    ).withColumn("_n", _norm("v"))
     return (
         cand.join(vv.select(F.col("doc").alias("doc1"),
-                            F.col("v").alias("v1")), "doc1")
+                            F.col("v").alias("v1"),
+                            F.col("_n").alias("_n1")), "doc1")
         .join(vv.select(F.col("doc").alias("doc2"),
-                        F.col("v").alias("v2")), "doc2")
+                        F.col("v").alias("v2"),
+                        F.col("_n").alias("_n2")), "doc2")
         .withColumn("cosine", sim)
         .where(F.col("cosine") >= threshold)
         .select("doc1", "doc2", F.round("cosine", 6).alias("cosine"))
@@ -571,10 +577,18 @@ def cosine_near_dup_pairs(
     SimHash block prefilter. ``dim`` may stay None — the hyperplane UDF
     derives its plane matrix lazily per worker from the seeded rng, so no
     plan-build-time job runs."""
+    from .join import spread_small_input
+
     sig = make_hyperplane_sig_udf(dim, n_planes, seed)
-    base = vectors.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
-    ).withColumn("bucket0", sig(F.col("v")))
+    # spread a narrow scan before the signature kernel and CACHE the signed
+    # slice: the probe/build branches below would otherwise each rerun the
+    # hyperplane UDF (same pattern as the text LSH builders; one narrow
+    # cached block per call). The per-row norm rides along so the exact
+    # verify pays one dot fold per pair instead of three (bit-identical).
+    base = spread_small_input(
+        vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v")),
+        F.col("doc"),
+    ).withColumn("bucket0", sig(F.col("v"))).withColumn("_n", _norm("v")).cache()
     masks = [0]
     if probe_bits >= 1:
         masks += [1 << i for i in range(n_planes)]
@@ -587,13 +601,14 @@ def cosine_near_dup_pairs(
     probes = F.array(*[F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks])
     l = (
         base.withColumn("bucket", F.explode(probes))
-        .select(F.col("doc").alias("doc1"), F.col("v").alias("v1"), "bucket")
+        .select(F.col("doc").alias("doc1"), F.col("v").alias("v1"),
+                F.col("_n").alias("_n1"), "bucket")
     )
     r = base.select(
         F.col("doc").alias("doc2"), F.col("v").alias("v2"),
-        F.col("bucket0").alias("bucket"),
+        F.col("_n").alias("_n2"), F.col("bucket0").alias("bucket"),
     )
-    sim = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
+    sim = _dot("v1", "v2") / (F.col("_n1") * F.col("_n2"))
     return (
         l.join(r, "bucket")
         .where(F.col("doc1") < F.col("doc2"))

@@ -652,6 +652,8 @@ def _minhash_band_candidates(
     the exact verify stage downstream). ``items='words'`` signs the distinct
     word set (the same item space the exact word-Jaccard verify measures);
     ``'shingles'`` signs char k-shingles."""
+    from .join import spread_small_input
+
     rows = num_hashes // bands
     if items == "words":
         sig_col = make_minhash_from_hashes_udf(num_hashes)(
@@ -659,10 +661,18 @@ def _minhash_band_candidates(
         )
     else:
         sig_col = make_minhash_udf(num_hashes, shingle_k)(F.col(text_col))
+    # spread BEFORE the signature kernel (single-row-group files otherwise
+    # run it single-task — and that one task would also own the whole
+    # band-collision join fanout); cache so the self-join's two branches
+    # compute the signature stage once, mirroring minhash_near_dup_pairs
     with_sig = (
-        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+        spread_small_input(
+            docs.select(F.col(id_col).alias("doc"), F.col(text_col)),
+            F.col("doc"),
+        )
         .withColumn("sig", sig_col)
         .drop(text_col)
+        .cache()
     )
     banded = with_sig.select(
         "doc",
@@ -692,13 +702,17 @@ def _simhash_block_candidates(
     """(doc1 < doc2) candidate pairs sharing >=1 exact simhash block
     (pigeonhole: guarantees recall of every pair with hamming <
     64/block_bits)."""
+    from .join import spread_small_input
+
     if items == "words":
         sim_col = make_simhash_from_hashes_udf()(word_hashes_expr(text_col))
     else:
         sim_col = make_simhash_udf(shingle_k)(F.col(text_col))
-    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col)).withColumn(
-        "simhash", sim_col
-    ).drop(text_col)
+    # same spread+cache rationale as _minhash_band_candidates
+    d = spread_small_input(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col)),
+        F.col("doc"),
+    ).withColumn("simhash", sim_col).drop(text_col).cache()
     blocked = d.select(
         "doc",
         block_split_expr(block_bits).alias("bb"),
