@@ -50,6 +50,16 @@ from pyspark.sql import functions as F
 # corpus-scale graphs and the certified distributed loop runs unchanged.
 CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000"))
 
+# spatial_dbscan core-set broadcast gate: the auto-contraction probe
+# already counts core points in its (free) aggregate; at or below this
+# many cores the core-id set (and the equally-sized label frame) is
+# broadcast so the semi/anti/border joins stop re-shuffling the full
+# eps-pair set. 2M int64 ids ~ 80 MB as a broadcast hashed relation —
+# the same order as the engine's other broadcast caps. Env-overridable.
+_CORE_BROADCAST_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DBSCAN_CORE_BCAST_ROWS", "2000000")
+)
+
 
 def _local_cc_labels(u: "np.ndarray", v: "np.ndarray"):  # noqa: F821
     """Vectorized exact connected components over dense-indexed edges:
@@ -543,21 +553,42 @@ def spatial_dbscan(
     core = core_rows.select(F.col("origin_id").alias("cid"))
 
     contract_on = False
+    core_count: int | None = None
     if hb_c is not None:
         if contract == "auto":
             # one bounded scalar probe (pairs materialize here): mean core
-            # degree decides whether contraction shrinks the graph enough
-            mean_deg = core_rows.agg(F.avg("n_eps")).first()[0]
+            # degree decides whether contraction shrinks the graph enough.
+            # The core COUNT rides the same agg for free and gates the
+            # core-set broadcast below — no extra action.
+            row = core_rows.agg(
+                F.avg("n_eps").alias("_m"), F.count("*").alias("_c")
+            ).first()
+            mean_deg, core_count = row["_m"], row["_c"]
             contract_on = (mean_deg is not None
                            and mean_deg >= CONTRACT_DEGREE_THRESHOLD)
         else:
             contract_on = True
 
+    # The core-id set is consumed by two semi-joins, one anti-join and
+    # (via the label frame) the border claim — each would otherwise
+    # re-shuffle the FULL pair set by origin_id/neighbor_id (the pair
+    # set's hash(origin_id) layout only serves the origin-keyed aggs).
+    # When the probe proved the core set bounded, broadcast it and the
+    # equally-sized label frame: the four pair-set shuffles become
+    # map-side joins over the persisted pairs (guide §2.4/§3.1 — a
+    # broadcast replaces a shuffle of the large side). Hint-only: results
+    # identical; with no probe (contract=False/None grid) or a large core
+    # set the shuffle plan is unchanged — at 100 TB the gate never fires.
+    bcast_core = (
+        core_count is not None and core_count <= _CORE_BROADCAST_ROWS
+    )
+    core_b = F.broadcast(core) if bcast_core else core
+
     nonself = pairs.where(F.col("origin_id") != F.col("neighbor_id"))
     core_edges = (
         nonself
-        .join(core, nonself["origin_id"] == core["cid"], "left_semi")
-        .join(core, nonself["neighbor_id"] == core["cid"], "left_semi")
+        .join(core_b, nonself["origin_id"] == core_b["cid"], "left_semi")
+        .join(core_b, nonself["neighbor_id"] == core_b["cid"], "left_semi")
     )
     if contract_on:
         # supercell graph: cross-cell core-core eps edges only (same-cell
@@ -609,9 +640,11 @@ def spatial_dbscan(
     ncl = core_lab.select(
         F.col("id").alias("_nid"), F.col("cluster_id").alias("_ncl")
     )
+    if bcast_core:  # same cardinality as the gated core set
+        ncl = F.broadcast(ncl)
     border_lab = (
         nonself
-        .join(core, nonself["origin_id"] == core["cid"], "left_anti")
+        .join(core_b, nonself["origin_id"] == core_b["cid"], "left_anti")
         .join(ncl, F.col("neighbor_id") == F.col("_nid"))
         .groupBy("origin_id")
         .agg(F.min("_ncl").alias("cluster_id"))
